@@ -1,0 +1,44 @@
+"""ART-TPU: a TPU-native raw photo development framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of artpixls/ART's
+rtengine (reference layer map in SURVEY.md, design in ARCHITECTURE.md).
+
+Public surface (mirrors the reference's headless path,
+``rtengine/rtengine.h:550-626``):
+
+- :func:`art_tpu.init` — global bring-up (profile store, ICC store, camconst).
+- :func:`art_tpu.load_image` — host decode of a raw/non-raw file.
+- :func:`art_tpu.process_image` — full develop chain on device.
+- :mod:`art_tpu.parallel` — batch queue sharded over a TPU mesh.
+- ``python -m art_tpu.cli`` — ART-cli compatible front end.
+"""
+
+__version__ = "0.1.0"
+
+from art_tpu.settings import Settings, settings  # noqa: F401
+
+
+def init(base_dir=None, user_settings_dir=None):
+    """Global engine bring-up (reference: ``rtengine::init`` init.cc:59).
+
+    Idempotent; loads bundled working-space data, camera constants and the
+    profile store. Cheap compared to the reference because heavyweight state
+    (LUTs, matrices) is built lazily by the pipeline planner.
+    """
+    from art_tpu.color import iccstore
+    from art_tpu.raw import camconst
+
+    iccstore.get_instance()
+    camconst.get_instance()
+
+
+def load_image(path):
+    from art_tpu.io import load_image as _load
+
+    return _load(path)
+
+
+def process_image(path_or_image, params, fast=False):
+    from art_tpu.pipeline import process_image as _process
+
+    return _process(path_or_image, params, fast=fast)

@@ -1,0 +1,83 @@
+"""Image layout helpers: pad-to-tile, CFA masks.
+
+The reference handles arbitrary H×W directly; XLA wants static,
+tile-friendly shapes. The planner pads every image up to a multiple of the
+tile edge (reflect padding keeps stencil ops well-behaved at the seam) and
+the final crop restores the true size. CFA-pattern logic that the reference
+does with per-pixel `FC(row,col)` lookups (`dcraw.h` fc()) becomes static
+2x2 / 6x6 boolean masks broadcast over the plane.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+MAXVAL = 65535.0
+
+BAYER_PATTERNS = ("RGGB", "BGGR", "GRBG", "GBRG")
+
+
+def pad_to_multiple(arr, multiple: int, axes=(-2, -1), mode="reflect"):
+    """Pad trailing spatial axes up to a multiple; returns (padded, orig_shape).
+
+    Works on numpy arrays (host, before device put) — padding on host avoids
+    a device reshape and keeps the jit signature static.
+    """
+    shape = arr.shape
+    pads = [(0, 0)] * arr.ndim
+    for ax in axes:
+        ax = ax % arr.ndim
+        n = shape[ax]
+        target = ((n + multiple - 1) // multiple) * multiple
+        pads[ax] = (0, target - n)
+    if all(p == (0, 0) for p in pads):
+        return arr, shape
+    return np.pad(arr, pads, mode=mode), shape
+
+
+def unpad(arr, orig_shape, axes=(-2, -1)):
+    """Crop padded axes back to the original size (host or device)."""
+    slices = [slice(None)] * arr.ndim
+    for ax in axes:
+        ax = ax % arr.ndim
+        slices[ax] = slice(0, orig_shape[ax])
+    return arr[tuple(slices)]
+
+
+def bayer_channel_masks(pattern: str, shape, xp=jnp):
+    """Boolean masks (R, G, B) of shape `shape` for a Bayer pattern string.
+
+    `pattern` gives the colors of the 2x2 tile at (0,0): e.g. "RGGB" means
+    (0,0)=R (0,1)=G (1,0)=G (1,1)=B. Replaces the reference's FC() lookups.
+    """
+    assert pattern in BAYER_PATTERNS, pattern
+    h, w = shape
+    rows = np.arange(h) % 2
+    cols = np.arange(w) % 2
+    idx2 = rows[:, None] * 2 + cols[None, :]  # 0..3 position in the 2x2 tile
+    masks = []
+    for color in "RGB":
+        m = np.zeros((h, w), dtype=bool)
+        for pos, c in enumerate(pattern):
+            if c == color:
+                m |= idx2 == pos
+        masks.append(xp.asarray(m))
+    return tuple(masks)
+
+
+def bayer_color_index(pattern: str, shape):
+    """Int array (H, W) with 0=R 1=G 2=B per CFA site (host numpy)."""
+    h, w = shape
+    rows = np.arange(h) % 2
+    cols = np.arange(w) % 2
+    idx2 = rows[:, None] * 2 + cols[None, :]
+    lut = np.array(["RGB".index(c) for c in pattern], dtype=np.int32)
+    return lut[idx2]
+
+
+def xtrans_color_index(pattern6x6, shape):
+    """Int array (H, W) 0/1/2 for an X-Trans 6x6 pattern (host numpy)."""
+    pat = np.asarray(pattern6x6, dtype=np.int32).reshape(6, 6)
+    h, w = shape
+    return pat[np.arange(h)[:, None] % 6, np.arange(w)[None, :] % 6]

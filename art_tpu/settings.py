@@ -1,0 +1,31 @@
+"""Engine settings (reference: ``rtengine/settings.h:29-96``).
+
+The reference keeps a global ``Settings`` object configured by the embedding
+app; we keep a small dataclass singleton. Only fields that affect the
+headless pipeline are carried over; GUI/monitor fields are omitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Settings:
+    verbose: bool = False
+    # Output/working colorspace defaults (reference iccstore.cc:366 defaults
+    # the working profile to Rec2020; output default is sRGB).
+    srgb_output: str = "sRGB"
+    working_profile: str = "Rec2020"
+    # Host threads used for decode/encode overlap (reference sizes its
+    # ThreadPool to nproc-1, init.cc:66-73).
+    host_threads: int = max(1, (os.cpu_count() or 2) - 1)
+    # Directory with user camconst overrides, dark frames, flat fields.
+    user_dir: str | None = None
+    # Pad images to multiples of this tile edge before jit (ARCHITECTURE.md:
+    # bucket-and-pad keeps the jit cache small; 128 matches lane width).
+    pad_multiple: int = 128
+
+
+settings = Settings()

@@ -1,0 +1,91 @@
+"""ProcParams / .arp codec tests, including reference bundled profiles."""
+
+import glob
+
+import pytest
+
+from art_tpu.params import KeyFile, ProcParams
+
+REF_PROFILES = sorted(glob.glob("/root/reference/rtdata/profiles/*.arp"))
+
+
+def test_defaults_match_reference():
+    pp = ProcParams()
+    # reference constructor defaults (procparams.cc)
+    assert pp.exposure.enabled is True
+    assert pp.exposure.hrmode == "Off"
+    assert pp.wb.method == "Camera"
+    assert pp.wb.temperature == 6504
+    assert pp.tone_curve.curve_mode == "Neutral"
+    assert pp.raw.bayer.method == "amaze"
+    assert pp.icm.working_profile == "Rec2020"
+
+
+def test_roundtrip_identity():
+    pp = ProcParams()
+    pp.exposure.expcomp = 1.25
+    pp.tone_curve.enabled = True
+    pp.tone_curve.curve = [1, 0, 0, 0.5, 0.6, 1, 1]
+    text = pp.to_keyfile().dump()
+    pp2 = ProcParams()
+    pp2.update_from_keyfile(KeyFile.parse(text))
+    assert pp2.exposure.expcomp == 1.25
+    assert pp2.tone_curve.enabled is True
+    assert pp2.tone_curve.curve == [1, 0, 0, 0.5, 0.6, 1, 1]
+
+
+def test_partial_update_preserves_unmentioned():
+    pp = ProcParams()
+    pp.exposure.expcomp = 2.0
+    # a keyfile mentioning only WB must not reset exposure
+    kf = KeyFile.parse("[White Balance]\nTemperature=5000\n")
+    pp.update_from_keyfile(kf)
+    assert pp.exposure.expcomp == 2.0
+    assert pp.wb.temperature == 5000
+
+
+@pytest.mark.parametrize("path", REF_PROFILES)
+def test_load_reference_bundled_profiles(path):
+    pp = ProcParams.load(path)
+    assert pp.pp_version >= 346  # all bundled profiles carry a Version
+
+
+def test_film_curve_profile_values():
+    path = "/root/reference/rtdata/profiles/Standard Film Curve.arp"
+    pp = ProcParams.load(path)
+    assert pp.tone_curve.enabled is True
+    assert pp.tone_curve.curve_mode == "Neutral"
+    assert pp.tone_curve.curve[0] == 1  # spline
+    assert pp.exposure.hrmode == "ColorSoft"  # "Balanced" on disk
+    assert pp.tone_curve.white_point == 1
+
+
+def test_noise_reduction_profile_values():
+    path = "/root/reference/rtdata/profiles/Noise Reduction Low.arp"
+    pp = ProcParams.load(path)
+    assert pp.denoise.enabled is True
+    assert pp.denoise.gamma == 1.7
+    assert pp.denoise.chrominance_method == 1
+    assert pp.denoise.guided_chroma_strength == 100
+
+
+def test_unknown_groups_preserved():
+    text = "[SomeFutureTool]\nEnabled=true\nStrength=5\n"
+    pp = ProcParams()
+    pp.update_from_keyfile(KeyFile.parse(text))
+    out = pp.to_keyfile().dump()
+    assert "[SomeFutureTool]" in out
+    assert "Strength=5" in out
+
+
+def test_camconst_reference_db():
+    from art_tpu.raw import camconst
+
+    cc = camconst.CameraConstantsStore()
+    cc.load_json("/root/reference/rtengine/camconst.json")
+    c = cc.get("Canon", "EOS 5D Mark III")
+    assert c is not None
+    assert c.white_levels(800) == [15180.0] * 4
+    assert c.white_levels(160) == [13200.0] * 4
+    assert c.dcraw_matrix()[0] == 6722.0
+    assert cc.get("Nonexistent", "Camera") is None
