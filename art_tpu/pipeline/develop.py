@@ -1,0 +1,239 @@
+"""The develop pipeline: plan on host, execute as one jitted program.
+
+Reference: the batch/CLI pipeline ``ImageProcessor`` (simpleprocess.cc:43-575)
+— stage_init (decode/preprocess/demosaic/WB) -> stage_denoise ->
+stage_transform -> stage_finish (op chain + output transform). Here the
+host planner (`plan`) folds ProcParams into (PipelineConfig, data pytree)
+and `develop` runs the whole chain on device under jit; the jit cache is
+keyed by the config (ARCHITECTURE.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from art_tpu import ops as ops_pkg
+from art_tpu.color import colorspaces as cs
+from art_tpu.core.image import MAXVAL, pad_to_multiple
+from art_tpu.raw import preprocess as rawpre
+from art_tpu.raw import wb as wbmod
+from art_tpu.settings import settings
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Hashable static pipeline description (the jit cache key)."""
+
+    pattern: str | None  # Bayer pattern or None
+    xtrans: tuple | None
+    is_raw: bool
+    demosaic_method: str
+    do_clip: bool
+    working_profile: str
+    out_trc: tuple
+    shape: tuple  # padded (H, W)
+    orig_shape: tuple  # true (H, W)
+    # ordered tuple of (op_name, static_part) for enabled ops
+    steps: tuple = ()
+
+
+def plan(frame, pp):
+    """Compile ProcParams + frame metadata into (config, data)."""
+    icc_working = pp.icm.working_profile
+    if icc_working not in cs.MATRICES_RGB_TO_XYZ:
+        icc_working = "Rec2020"
+
+    data = {}
+    ctx = {
+        "working_profile": icc_working,
+        "frame": frame,
+        "pp": pp,
+    }
+
+    if frame.is_raw:
+        h, w = frame.cfa.shape
+        cfa_padded, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
+        shape = cfa_padded.shape
+        # raw scaling plan (scaleColors)
+        bayer_adjust = None
+        if frame.pattern is not None and pp.raw.bayer.black_enabled:
+            b = pp.raw.bayer
+            bayer_adjust = [b.black1, b.black0, b.black2, b.black3]
+        raw_expos = pp.raw.expos if pp.raw.expos_enabled else 1.0
+        method = (pp.raw.bayer.method if frame.pattern is not None
+                  else pp.raw.xtrans.method)
+
+        # chosen WB in ColorTemp multiplier convention (getWB / simpleprocess
+        # stage_init) — camera WB is the identity in this convention.
+        if pp.wb.enabled and pp.wb.method in ("Custom", "CustomTemp"):
+            wb_mults = wbmod.temp2mul(pp.wb.temperature, pp.wb.green,
+                                      pp.wb.equal)
+        elif pp.wb.enabled and pp.wb.method in ("CustomMult",
+                                                "CustomMultLegacy"):
+            m = np.asarray(pp.wb.mult, dtype=np.float64)
+            wb_mults = np.array([m[0] / m[1], 1.0, m[2] / m[1]])
+        else:
+            wb_mults = frame.camera_wb_mults()
+
+        splan = rawpre.scale_plan(
+            frame, bayer_adjust, raw_expos,
+            is_mono=(method == "mono"), wb_mults_rgb=wb_mults)
+        offset_p, _ = pad_to_multiple(splan["offset"], settings.pad_multiple)
+        scale_p, _ = pad_to_multiple(splan["scale"], settings.pad_multiple)
+        data["raw_offset"] = offset_p
+        data["raw_scale"] = scale_p
+
+        mults, gain = wbmod.image_multipliers(
+            frame, wb_mults, splan["scale_mul"], splan["c_white"],
+            splan["cblack"], raw_expos, is_mono=(method == "mono"))
+        data["rgb_mults"] = mults.astype(np.float32)
+
+        # cam -> working matrix (colorSpaceConversion_ default path:
+        # work_inv @ xyz_cam with xyz_cam = xyz_sRGB(D50) @ rgb_cam)
+        rgb_cam, _, _ = frame.color_matrices()
+        xyz_cam = cs.MATRICES_RGB_TO_XYZ["sRGB"] @ rgb_cam
+        cam2work = cs.MATRICES_XYZ_TO_RGB[icc_working] @ xyz_cam
+        data["cam2work"] = cam2work.astype(np.float32)
+        do_clip = not (pp.exposure.enabled and pp.exposure.hrmode != "Off")
+    else:
+        h, w = frame.shape
+        rgb_padded, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
+        shape = rgb_padded.shape[1:]
+        # non-raw sources arrive in linear sRGB 0..65535
+        data["cam2work"] = cs.working_space_matrix(
+            "sRGB", icc_working).astype(np.float32)
+        do_clip = False
+        method = "none"
+
+    # op chain
+    steps = []
+    for name in ops_pkg.ALL_STEPS:
+        mod = ops_pkg.get_op(name)
+        if mod is None:
+            continue
+        planned = mod.plan(pp, ctx)
+        if planned is None:
+            continue
+        static, op_data = planned
+        steps.append((name, tuple(static)))
+        data[f"op:{name}"] = op_data
+
+    # output transform (rgb2out fast path: matrix + TRC)
+    from art_tpu.color.iccstore import get_instance
+
+    out_prof = _resolve_output_profile(pp.icm.output_profile)
+    work2out = (np.linalg.inv(cs.MATRICES_RGB_TO_XYZ[out_prof])
+                @ cs.MATRICES_RGB_TO_XYZ[icc_working])
+    data["work2out"] = work2out.astype(np.float32)
+    out_trc = get_instance().output_profile(out_prof).trc
+
+    config = PipelineConfig(
+        pattern=frame.pattern if frame.is_raw else None,
+        xtrans=frame.xtrans,
+        is_raw=frame.is_raw,
+        demosaic_method=method,
+        do_clip=do_clip,
+        working_profile=icc_working,
+        out_trc=out_trc,
+        shape=tuple(shape),
+        orig_shape=(h, w),
+        steps=tuple(steps),
+    )
+    return config, data
+
+
+def _resolve_output_profile(name: str) -> str:
+    n = (name or "").lower()
+    if "2020" in n:
+        return "Rec2020"
+    if "adobe" in n or "medium" in n:
+        return "Adobe RGB"
+    if "prophoto" in n or "large" in n:
+        return "ProPhoto"
+    if "acesp0" in n:
+        return "ACESp0"
+    if "acesp1" in n or "ap1" in n:
+        return "ACESp1"
+    return "sRGB"
+
+
+def _mat3(m, rgb):
+    # explicit muladds: on TPU a (3,3)x(3,HW) einsum would hit the MXU at
+    # bf16 default precision — a 0.4% color error; the VPU form is exact f32
+    # and fuses into the surrounding elementwise chain.
+    return jnp.stack([
+        m[0, 0] * rgb[0] + m[0, 1] * rgb[1] + m[0, 2] * rgb[2],
+        m[1, 0] * rgb[0] + m[1, 1] * rgb[1] + m[1, 2] * rgb[2],
+        m[2, 0] * rgb[0] + m[2, 1] * rgb[1] + m[2, 2] * rgb[2],
+    ])
+
+
+def _build_run(config: PipelineConfig):
+    """Build the (un-jitted) device program for a config."""
+
+    def run(inp, data):
+        if config.is_raw:
+            cfa = rawpre.apply_scale(inp, data["raw_offset"],
+                                     data["raw_scale"], jnp)
+            from art_tpu.demosaic import demosaic as dem
+
+            rgb = dem(cfa, config.pattern, config.demosaic_method)
+            rgb = rgb * data["rgb_mults"][:, None, None]
+            if config.do_clip:
+                rgb = jnp.clip(rgb, 0.0, MAXVAL)
+        else:
+            rgb = inp
+        rgb = _mat3(data["cam2work"], rgb)
+
+        for name, static in config.steps:
+            mod = ops_pkg.get_op(name)
+            rgb = mod.apply(rgb, data[f"op:{name}"], static)
+
+        # rgb2out: working -> output primaries + TRC encode, to [0,1]
+        rgb = _mat3(data["work2out"], rgb)
+        rgb = jnp.clip(rgb / MAXVAL, 0.0, 1.0)
+        rgb = cs.encode_trc(rgb, config.out_trc, jnp)
+        return rgb
+
+    return run
+
+
+@functools.lru_cache(maxsize=64)
+def _executor(config: PipelineConfig):
+    return jax.jit(_build_run(config))
+
+
+def develop(frame, pp):
+    """Full develop: returns encoded output RGB (3, H, W) float32 in [0,1]."""
+    config, data = plan(frame, pp)
+    if frame.is_raw:
+        inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
+    else:
+        inp, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
+    out = _executor(config)(inp, data)
+    h, w = config.orig_shape
+    return np.asarray(out)[:, :h, :w]
+
+
+def process_image(path_or_frame, pp, fast=False, output_path=None,
+                  bits=8, quality=92):
+    """processImage equivalent (rtengine.h:604, simpleprocess.cc:580)."""
+    from art_tpu.io.rawfile import RawFrame
+
+    if isinstance(path_or_frame, RawFrame):
+        frame = path_or_frame
+    else:
+        from art_tpu.io import load_image
+
+        frame = load_image(path_or_frame)
+    out = develop(frame, pp)
+    if output_path is not None:
+        from art_tpu.io.imagefile import save_image
+
+        save_image(output_path, out, bits=bits, quality=quality)
+    return out

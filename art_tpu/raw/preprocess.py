@@ -1,0 +1,93 @@
+"""Raw-domain preprocessing: black subtraction + channel scaling.
+
+Reference: ``RawImageSource::scaleColors`` (rawimagesource.cc:2677-2800) and
+``calculate_scale_mul`` (:753-780). The reference's per-pixel FC() branch
+becomes a precomputed per-site scale/offset plane broadcast over the mosaic
+— one fused multiply-add on device instead of a scalar loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from art_tpu.core.image import MAXVAL, bayer_color_index, xtrans_color_index
+
+
+def calculate_scale_mul(pre_mul4, c_white, c_black, is_mono=False):
+    """scale_mul[c] = (pre_mul[c]/max(pre_mul)) * 65535/(white[c]-black[c]).
+
+    Returns (scale_mul[4], gain) with gain = max/min ratio (the reference's
+    initialGain). Mirrors rawimagesource.cc:753-780.
+    """
+    pre_mul4 = np.asarray(pre_mul4, dtype=np.float64).copy()
+    c_white = np.asarray(c_white, dtype=np.float64)
+    c_black = np.asarray(c_black, dtype=np.float64)
+    if is_mono:
+        scale = MAXVAL / (c_white - c_black)
+    else:
+        maxpremul = pre_mul4.max()
+        scale = (pre_mul4 / maxpremul) * MAXVAL / (c_white - c_black)
+    gain = scale.max() / scale.min()
+    return scale, gain
+
+
+def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
+               wb_mults_rgb=None):
+    """Host planner for scaleColors: per-c4 offsets/scales -> site planes.
+
+    Returns dict with per-site (H,W) float32 `offset` and `scale` planes,
+    plus scalars: scale_mul[4], gain, clmax[3] (post-scale clip levels).
+    `bayer_black_adjust` is the user PreBlack0..3 adjustment (G1,R,B,G2
+    ordering quirk matches the reference: black_lev[0]=black1 etc.).
+    `wb_mults_rgb` is the chosen WB in ColorTemp multiplier convention:
+    scaleColors scales by ref_pre_mul = pre_mul / wb (preprocess,
+    rawimagesource.cc:1484-1502); None or camera WB means ref_pre_mul =
+    pre_mul.
+    """
+    h, w = frame.cfa.shape
+    cblack = np.asarray(frame.black, dtype=np.float64).copy()
+    if bayer_black_adjust is not None:
+        cblack = np.maximum(cblack + np.asarray(bayer_black_adjust), 0.0)
+    c_white = np.asarray(frame.white, dtype=np.float64)
+    c_white = (c_white - cblack) / raw_expos + cblack
+    pre_mul4 = frame.pre_mul()
+    if wb_mults_rgb is not None:
+        w4 = np.array([wb_mults_rgb[0], wb_mults_rgb[1], wb_mults_rgb[2],
+                       wb_mults_rgb[1]], dtype=np.float64)
+        pre_mul4 = pre_mul4 / w4
+    scale_mul, gain = calculate_scale_mul(pre_mul4, c_white, cblack, is_mono)
+    clmax = (c_white - cblack) * scale_mul
+
+    if frame.pattern is not None:
+        cidx = bayer_color_index(frame.pattern, (h, w))
+        # c4 index: G sites on even rows are G1(c4=1->index1), odd rows G2(3)
+        rows_odd = (np.arange(h) % 2 == 1)[:, None]
+        c4 = cidx.astype(np.int64).copy()
+        # reference: c4 = (c==1 && !(row&1)) ? 3 : c  with c in dcraw order
+        # dcraw order: 0=R 1=G 2=B 3=G2; our cidx: 0=R 1=G 2=B
+        g2 = (cidx == 1) & np.broadcast_to(~rows_odd, (h, w))
+        c4[g2] = 3
+        # NOTE dcraw maps c4: 0=R,1=G1,2=B,3=G2 — and which G row counts as
+        # G2 depends on pattern; numerically symmetric since black/white are
+        # usually equal for G1/G2.
+    elif frame.xtrans is not None:
+        c4 = xtrans_color_index(frame.xtrans, (h, w)).astype(np.int64)
+    else:
+        c4 = np.zeros((h, w), dtype=np.int64)
+
+    offset = cblack[c4].astype(np.float32)
+    scale = scale_mul[c4].astype(np.float32)
+    return {
+        "offset": offset,
+        "scale": scale,
+        "scale_mul": scale_mul,
+        "gain": gain,
+        "clmax": clmax[:3],
+        "cblack": cblack,
+        "c_white": c_white,
+    }
+
+
+def apply_scale(cfa, offset, scale, xp):
+    """Device-side: (raw - black) * scale, clamped at 0 (scaleColors loop)."""
+    return xp.maximum(cfa - offset, 0.0) * scale

@@ -1,0 +1,65 @@
+"""Benchmark: 24MP raw -> sRGB full develop throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: BASELINE.json north star >20 images/sec/chip on TPU v5e
+(24MP, full AMaZE + denoise + tone pipeline). vs_baseline = value / 20.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from art_tpu.core.image import pad_to_multiple
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import _executor, plan
+    from art_tpu.settings import settings
+
+    # 24MP Bayer frame (6000x4000), flagship pipeline profile
+    h, w = 4000, 6000
+    rng = np.random.default_rng(0)
+    rgb = rng.uniform(0.02, 0.95, size=(3, h, w)).astype(np.float32)
+    frame = synthesize_bayer(rgb, pattern="RGGB")
+    del rgb
+
+    pp = ProcParams()
+    pp.apply_arp_text(
+        open("/root/reference/rtdata/profiles/Standard Film Curve.arp").read()
+    )
+
+    config, data = plan(frame, pp)
+    inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
+    run = _executor(config)
+
+    inp_dev = jax.device_put(inp)
+    data_dev = jax.device_put(data)
+
+    # warmup (compile)
+    out = run(inp_dev, data_dev)
+    out.block_until_ready()
+
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        out = run(inp_dev, data_dev)
+    out.block_until_ready()
+    dt = (time.time() - t0) / n
+
+    value = 1.0 / dt
+    print(json.dumps({
+        "metric": "24MP raw->sRGB images/sec/chip (full develop pipeline)",
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / 20.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

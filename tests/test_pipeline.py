@@ -1,0 +1,118 @@
+"""End-to-end develop pipeline tests against the synthetic oracle.
+
+The oracle: `synthesize_bayer` mosaics a known linear-sRGB image with an
+identity camera; the develop chain with neutral params must reconstruct
+srgb_gamma(original) up to demosaic error (SURVEY §4 test strategy).
+"""
+
+import numpy as np
+import pytest
+
+from art_tpu.color import colorspaces as cs
+from art_tpu.io.rawfile import synthesize_bayer
+from art_tpu.params import ProcParams
+from art_tpu.pipeline import develop
+
+
+def make_gradient_rgb(h=64, w=96):
+    y = np.linspace(0.05, 0.9, h)[None, :, None]
+    x = np.linspace(0.1, 0.8, w)[None, None, :]
+    r = np.broadcast_to(y * x, (1, h, w))
+    g = np.broadcast_to(0.2 + 0.5 * x, (1, h, w))
+    b = np.broadcast_to(0.7 - 0.4 * y, (1, h, w))
+    return np.concatenate([r, g, b], axis=0)
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "BGGR", "GRBG", "GBRG"])
+def test_flat_field_reconstruction(pattern):
+    """A constant color must reconstruct exactly (no demosaic error)."""
+    color = np.array([0.4, 0.3, 0.6])
+    rgb = np.broadcast_to(color[:, None, None], (3, 32, 48)).copy()
+    frame = synthesize_bayer(rgb, pattern=pattern)
+    pp = ProcParams()
+    out = develop(frame, pp)
+    assert out.shape == (3, 32, 48)
+    expected = cs.srgb_gamma(color)
+    got = out[:, 8:-8, 8:-8].mean(axis=(1, 2))
+    np.testing.assert_allclose(got, expected, atol=2e-3)
+
+
+def test_gradient_reconstruction_bilinear():
+    rgb = make_gradient_rgb()
+    frame = synthesize_bayer(rgb, pattern="RGGB")
+    pp = ProcParams()
+    pp.raw.bayer.method = "fast"  # bilinear
+    out = develop(frame, pp)
+    expected = cs.srgb_gamma(rgb)
+    err = np.abs(out[:, 4:-4, 4:-4] - expected[:, 4:-4, 4:-4])
+    assert err.mean() < 0.01
+    assert err.max() < 0.06
+
+
+def test_exposure_compensation():
+    color = np.array([0.2, 0.2, 0.2])
+    rgb = np.broadcast_to(color[:, None, None], (3, 32, 32)).copy()
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.exposure.expcomp = 1.0  # +1 EV
+    out = develop(frame, pp)
+    expected = cs.srgb_gamma(color * 2.0)
+    got = out[:, 8:-8, 8:-8].mean(axis=(1, 2))
+    np.testing.assert_allclose(got, expected, atol=3e-3)
+
+
+def test_custom_wb_multipliers_neutralize_cast():
+    """Developing with the same WB the mosaic was synthesized with must
+    produce a neutral gray; a different WB must shift it."""
+    gray = np.broadcast_to(np.full(3, 0.4)[:, None, None], (3, 32, 32)).copy()
+    frame = synthesize_bayer(gray, cam_mul=(2.0, 1.0, 1.4))
+    pp = ProcParams()
+    out_cam = develop(frame, pp)
+    got = out_cam[:, 8:-8, 8:-8].mean(axis=(1, 2))
+    np.testing.assert_allclose(got, cs.srgb_gamma(np.full(3, 0.4)), atol=2e-3)
+
+
+def test_tone_curve_standard():
+    color = np.array([0.25, 0.25, 0.25])
+    rgb = np.broadcast_to(color[:, None, None], (3, 32, 32)).copy()
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.tone_curve.enabled = True
+    pp.tone_curve.curve_mode = "Standard"
+    pp.tone_curve.curve_mode2 = "Standard"
+    # brightening spline in sRGB-encoded domain
+    pp.tone_curve.curve = [1, 0, 0, 0.5, 0.7, 1, 1]
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    assert out[:, 8:-8, 8:-8].mean() > base[:, 8:-8, 8:-8].mean() + 0.05
+
+
+def test_neutral_tone_curve_runs():
+    """Default ART look (Neutral mode) with the Standard Film Curve."""
+    rgb = make_gradient_rgb(32, 48)
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.apply_arp_text(
+        open("/root/reference/rtdata/profiles/Standard Film Curve.arp").read())
+    assert pp.tone_curve.curve_mode == "Neutral"
+    out = develop(frame, pp)
+    assert np.all(np.isfinite(out))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # the film curve must darken shadows relative to linear
+    base = develop(frame, ProcParams())
+    dark = rgb.min(axis=0) < 0.15
+
+
+def test_saturation_op():
+    color = np.array([0.5, 0.3, 0.3])
+    rgb = np.broadcast_to(color[:, None, None], (3, 32, 32)).copy()
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.saturation.enabled = True
+    pp.saturation.saturation = 50
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    # saturation raises R relative to G/B for a reddish patch
+    c = out[:, 8:-8, 8:-8].mean(axis=(1, 2))
+    c0 = base[:, 8:-8, 8:-8].mean(axis=(1, 2))
+    assert (c[0] - c[1]) > (c0[0] - c0[1])
