@@ -19,8 +19,8 @@ import numpy as np
 
 from art_tpu.color import colorspaces as cs
 from art_tpu.color.curves import DiagonalCurve, FlatCurve
+from art_tpu.core.curve1d import eval_curve, fit_curve
 from art_tpu.core.image import MAXVAL
-from art_tpu.core.lut import apply_lut
 
 LUT_SIZE = 65536
 
@@ -114,18 +114,18 @@ def filmlike_clip(rgb, lmax=MAXVAL):
     return jnp.stack([pick(r), pick(g), pick(b)])
 
 
-def _apply_std(rgb, lut):
-    return apply_lut(rgb, lut * MAXVAL)
+def _apply_std(rgb, coeffs):
+    return eval_curve(rgb, coeffs)
 
 
-def _apply_filmlike(rgb, lut):
+def _apply_filmlike(rgb, coeffs):
     """AdobeToneCurve::RGBTone: curve drives max and min; mid keeps ratio."""
     r, g, b = rgb[0], rgb[1], rgb[2]
     hi = jnp.maximum(jnp.maximum(r, g), b)
     lo = jnp.minimum(jnp.minimum(r, g), b)
     mid = r + g + b - hi - lo
-    hi_c = apply_lut(hi, lut * MAXVAL)
-    lo_c = apply_lut(lo, lut * MAXVAL)
+    hi_c = eval_curve(hi, coeffs)
+    lo_c = eval_curve(lo, coeffs)
     denom = hi - lo
     mid_c = jnp.where(
         denom > 0, lo_c + (hi_c - lo_c) * (mid - lo) / jnp.where(denom > 0, denom, 1.0),
@@ -138,21 +138,21 @@ def _apply_filmlike(rgb, lut):
     return jnp.stack([pick(r), pick(g), pick(b)])
 
 
-def _apply_luminance(rgb, lut, lum_w):
+def _apply_luminance(rgb, coeffs, lum_w):
     y = lum_w[0] * rgb[0] + lum_w[1] * rgb[1] + lum_w[2] * rgb[2]
     y_safe = jnp.maximum(y, 1e-5)
-    ratio = apply_lut(y_safe, lut * MAXVAL) / y_safe
+    ratio = eval_curve(y_safe, coeffs) / y_safe
     return rgb * ratio
 
 
-def _apply_weighted_std(rgb, lut):
+def _apply_weighted_std(rgb, coeffs):
     """WeightedStdToneCurve: each channel curve-driven, 3:1 blended with the
     response of its peers (curves.h Triangle helper semantics, simplified to
     the reference's 0.25/0.75 mix)."""
     r, g, b = rgb[0], rgb[1], rgb[2]
-    r1 = apply_lut(r, lut * MAXVAL)
-    g1 = apply_lut(g, lut * MAXVAL)
-    b1 = apply_lut(b, lut * MAXVAL)
+    r1 = eval_curve(r, coeffs)
+    g1 = eval_curve(g, coeffs)
+    b1 = eval_curve(b, coeffs)
     # cross-influences via per-channel deltas
     rf = r1 - r
     gf = g1 - g
@@ -165,12 +165,12 @@ def _apply_weighted_std(rgb, lut):
     return jnp.stack([r2, g2, b2])
 
 
-def _apply_satandvalue(rgb, lut):
+def _apply_satandvalue(rgb, coeffs):
     """SatAndValueBlendingToneCurve: drive V in HSV, blend saturation."""
     r, g, b = rgb[0], rgb[1], rgb[2]
     v = jnp.maximum(jnp.maximum(r, g), b)
     v_safe = jnp.maximum(v, 1e-5)
-    v1 = apply_lut(v_safe, lut * MAXVAL)
+    v1 = eval_curve(v_safe, coeffs)
     ratio = v1 / v_safe
     return jnp.clip(rgb * ratio, 0.0, MAXVAL)
 
@@ -219,7 +219,7 @@ def plan(pp, ctx):
         return ("neutral",) + static, data
 
     lum_w = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]][1]
-    data = {"lut": lut, "lum_w": lum_w.astype(np.float32)}
+    data = {"coeffs": fit_curve(lut), "lum_w": lum_w.astype(np.float32)}
     return (mode.lower(), clip_first), data
 
 
@@ -232,13 +232,13 @@ def apply(rgb, data, static):
     clip_first = static[1]
     if clip_first:
         rgb = filmlike_clip(rgb)
-    lut = data["lut"]
+    coeffs = data["coeffs"]
     if mode == "filmlike":
-        return _apply_filmlike(rgb, lut)
+        return _apply_filmlike(rgb, coeffs)
     if mode == "luminance":
-        return _apply_luminance(rgb, lut, data["lum_w"])
+        return _apply_luminance(rgb, coeffs, data["lum_w"])
     if mode == "weightedstd":
-        return _apply_weighted_std(rgb, lut)
+        return _apply_weighted_std(rgb, coeffs)
     if mode == "satandvalueblending":
-        return _apply_satandvalue(rgb, lut)
-    return _apply_std(rgb, lut)
+        return _apply_satandvalue(rgb, coeffs)
+    return _apply_std(rgb, coeffs)

@@ -14,8 +14,8 @@ import numpy as np
 
 from art_tpu.color import colorspaces as cs
 from art_tpu.color import jzazbz
+from art_tpu.core.curve1d import eval_curve, fit_curve
 from art_tpu.core.image import MAXVAL
-from art_tpu.core.lut import apply_lut
 from art_tpu.ops.tonecurve import filmlike_clip
 
 # gamut compress constants (curves.cc:903-908, hand-tuned ART values)
@@ -62,7 +62,7 @@ def plan_neutral(pp, ctx, lut, whitept):
     yrange = abs(ohue - yhue) * 0.8
     rrange = abs(ohue - rhue)
     data = {
-        "lut": lut,
+        "coeffs": fit_curve(lut),
         "ws": work.astype(np.float32),
         "iws": iwork.astype(np.float32),
         "to_out": to_out.astype(np.float32),
@@ -87,7 +87,7 @@ def _gauss(x, b, c):
 
 
 def apply_neutral(rgb, data, static):
-    lut = data["lut"]
+    coeffs = data["coeffs"]
     ws = data["ws"]
     iws = data["iws"]
     whitept = data["whitept"]
@@ -120,7 +120,7 @@ def apply_neutral(rgb, data, static):
     x = filmlike_clip(x * MAXVAL, lmax) / MAXVAL
 
     # apply the composed curve per channel
-    x = apply_lut(x * MAXVAL, lut * MAXVAL) / MAXVAL
+    x = eval_curve(x * MAXVAL, coeffs) / MAXVAL
 
     jz, cz, hz = jzazbz.rgb_to_jzczhz(x[0], x[1], x[2], ws)
 

@@ -83,10 +83,8 @@ def plan(frame, pp):
         splan = rawpre.scale_plan(
             frame, bayer_adjust, raw_expos,
             is_mono=(method == "mono"), wb_mults_rgb=wb_mults)
-        offset_p, _ = pad_to_multiple(splan["offset"], settings.pad_multiple)
-        scale_p, _ = pad_to_multiple(splan["scale"], settings.pad_multiple)
-        data["raw_offset"] = offset_p
-        data["raw_scale"] = scale_p
+        data["raw_offset"] = splan["offset_tile"]
+        data["raw_scale"] = splan["scale_tile"]
 
         mults, gain = wbmod.image_multipliers(
             frame, wb_mults, splan["scale_mul"], splan["c_white"],

@@ -58,28 +58,25 @@ def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
     scale_mul, gain = calculate_scale_mul(pre_mul4, c_white, cblack, is_mono)
     clmax = (c_white - cblack) * scale_mul
 
+    # The per-site black/scale pattern is periodic (2x2 Bayer / 6x6 X-Trans);
+    # ship only the period tile and let the device broadcast it — the full
+    # (H,W) planes would add 2x the mosaic's own H2D traffic.
     if frame.pattern is not None:
-        cidx = bayer_color_index(frame.pattern, (h, w))
-        # c4 index: G sites on even rows are G1(c4=1->index1), odd rows G2(3)
-        rows_odd = (np.arange(h) % 2 == 1)[:, None]
+        cidx = bayer_color_index(frame.pattern, (2, 2))
         c4 = cidx.astype(np.int64).copy()
-        # reference: c4 = (c==1 && !(row&1)) ? 3 : c  with c in dcraw order
-        # dcraw order: 0=R 1=G 2=B 3=G2; our cidx: 0=R 1=G 2=B
-        g2 = (cidx == 1) & np.broadcast_to(~rows_odd, (h, w))
+        # reference: c4 = (c==1 && !(row&1)) ? 3 : c (dcraw 0=R,1=G1,2=B,3=G2)
+        g2 = (cidx == 1) & (np.arange(2)[:, None] % 2 == 0)
         c4[g2] = 3
-        # NOTE dcraw maps c4: 0=R,1=G1,2=B,3=G2 — and which G row counts as
-        # G2 depends on pattern; numerically symmetric since black/white are
-        # usually equal for G1/G2.
     elif frame.xtrans is not None:
-        c4 = xtrans_color_index(frame.xtrans, (h, w)).astype(np.int64)
+        c4 = xtrans_color_index(frame.xtrans, (6, 6)).astype(np.int64)
     else:
-        c4 = np.zeros((h, w), dtype=np.int64)
+        c4 = np.zeros((1, 1), dtype=np.int64)
 
-    offset = cblack[c4].astype(np.float32)
-    scale = scale_mul[c4].astype(np.float32)
+    offset_tile = cblack[c4].astype(np.float32)
+    scale_tile = scale_mul[c4].astype(np.float32)
     return {
-        "offset": offset,
-        "scale": scale,
+        "offset_tile": offset_tile,
+        "scale_tile": scale_tile,
         "scale_mul": scale_mul,
         "gain": gain,
         "clmax": clmax[:3],
@@ -88,6 +85,11 @@ def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
     }
 
 
-def apply_scale(cfa, offset, scale, xp):
-    """Device-side: (raw - black) * scale, clamped at 0 (scaleColors loop)."""
+def apply_scale(cfa, offset_tile, scale_tile, xp):
+    """Device-side: (raw - black) * scale with the periodic level pattern
+    broadcast over the mosaic (scaleColors inner loop)."""
+    h, w = cfa.shape
+    th, tw = offset_tile.shape
+    offset = xp.tile(offset_tile, (h // th, w // tw))
+    scale = xp.tile(scale_tile, (h // th, w // tw))
     return xp.maximum(cfa - offset, 0.0) * scale

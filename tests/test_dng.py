@@ -1,0 +1,96 @@
+"""Native DNG decoder round-trip tests (writer oracle -> artraw decoder)."""
+
+import numpy as np
+import pytest
+
+from art_tpu.io.dngwrite import lj92_encode, write_dng
+from art_tpu.io.native_binding import decode_dng_bytes
+from art_tpu.io.dng import load_dng
+
+
+@pytest.fixture
+def mosaic(rng):
+    return (rng.uniform(0, 16383, size=(64, 96))).astype(np.uint16)
+
+
+def test_uncompressed_roundtrip(tmp_path, mosaic):
+    p = tmp_path / "u.dng"
+    write_dng(p, mosaic, pattern="RGGB", black=512, white=16383,
+              compress=False)
+    img, meta = decode_dng_bytes(p.read_bytes())
+    np.testing.assert_array_equal(img, mosaic)
+    assert meta["cfa_pattern"] == [0, 1, 1, 2]
+    assert meta["black"][0] == 512
+    assert meta["white"][0] == 16383
+
+
+def test_lj92_roundtrip(tmp_path, mosaic):
+    p = tmp_path / "c.dng"
+    write_dng(p, mosaic, pattern="RGGB", black=512, white=16383,
+              compress=True)
+    img, meta = decode_dng_bytes(p.read_bytes())
+    np.testing.assert_array_equal(img, mosaic)
+
+
+def test_lj92_extreme_values(tmp_path):
+    # full-range data incl. 0, 65535, sharp steps (category 16 paths)
+    m = np.zeros((32, 32), np.uint16)
+    m[::2, ::2] = 65535
+    m[1::2, 1::2] = 32768
+    m[5, :] = np.arange(32, dtype=np.uint16) * 2000
+    p = tmp_path / "x.dng"
+    write_dng(p, m, compress=True)
+    img, _ = decode_dng_bytes(p.read_bytes())
+    np.testing.assert_array_equal(img, m)
+
+
+def test_lj92_flat_image(tmp_path):
+    m = np.full((16, 16), 1234, np.uint16)
+    p = tmp_path / "flat.dng"
+    write_dng(p, m, compress=True)
+    img, _ = decode_dng_bytes(p.read_bytes())
+    np.testing.assert_array_equal(img, m)
+
+
+def test_load_dng_rawframe(tmp_path, mosaic):
+    cam_xyz = np.array([[0.9, -0.2, -0.1], [-0.4, 1.3, 0.1],
+                        [-0.05, 0.2, 0.7]])
+    p = tmp_path / "f.dng"
+    write_dng(p, mosaic, pattern="GBRG", black=256, white=16383,
+              cam_mul=(2.1, 1.0, 1.4), cam_xyz=cam_xyz,
+              make="TestMake", model="TestModel", baseline_exposure=0.35)
+    frame = load_dng(p)
+    assert frame.pattern == "GBRG"
+    assert frame.black[0] == 256
+    np.testing.assert_allclose(frame.cam_mul[:3], [2.1, 1.0, 1.4], atol=1e-5)
+    np.testing.assert_allclose(frame.cam_xyz, cam_xyz, atol=1e-6)
+    assert frame.make == "TestMake"
+    assert abs(frame.baseline_exposure - 0.35) < 1e-6
+    assert frame.cfa.shape == mosaic.shape
+
+
+def test_dng_through_pipeline(tmp_path):
+    """Full path: synthesize -> write DNG -> decode -> develop."""
+    from art_tpu.color import colorspaces as cs
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline import develop
+
+    color = np.array([0.35, 0.5, 0.25])
+    rgb = np.broadcast_to(color[:, None, None], (3, 32, 48)).copy()
+    syn = synthesize_bayer(rgb, pattern="RGGB", black=512, white=16383,
+                           cam_mul=(1.8, 1.0, 1.3))
+    p = tmp_path / "pipe.dng"
+    write_dng(p, syn.cfa.astype(np.uint16), pattern="RGGB", black=512,
+              white=16383, cam_mul=(1.8, 1.0, 1.3), compress=True)
+    frame = load_dng(p)
+    out = develop(frame, ProcParams())
+    got = out[:, 8:-8, 8:-8].mean(axis=(1, 2))
+    np.testing.assert_allclose(got, cs.srgb_gamma(color), atol=3e-3)
+
+
+def test_corrupt_dng_rejected():
+    with pytest.raises(ValueError):
+        decode_dng_bytes(b"not a dng file at all")
+    with pytest.raises(ValueError):
+        decode_dng_bytes(b"II\x2a\x00\xff\xff\xff\xff")
