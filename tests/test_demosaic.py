@@ -1,0 +1,84 @@
+"""Demosaic kernel tests against the synthetic mosaic oracle."""
+
+import numpy as np
+import pytest
+
+from art_tpu.core.image import bayer_color_index
+from art_tpu.demosaic import demosaic
+
+
+def mosaic_of(rgb, pattern):
+    c, h, w = rgb.shape
+    cidx = bayer_color_index(pattern, (h, w))
+    return np.take_along_axis(
+        rgb.reshape(3, -1), cidx.reshape(1, -1), axis=0).reshape(h, w)
+
+
+def smooth_image(h=80, w=112, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0.1, 0.9, size=(3, 5, 7))
+    import cv2
+
+    out = np.stack([
+        cv2.resize(base[c], (w, h), interpolation=cv2.INTER_CUBIC)
+        for c in range(3)
+    ])
+    return np.clip(out, 0.0, 1.0) * 65535.0
+
+
+def edge_image(h=80, w=112):
+    img = np.full((3, h, w), 0.2)
+    img[:, :, w // 2:] = 0.8
+    img[0, h // 2:, :] *= 0.5
+    return img * 65535.0
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "BGGR", "GRBG", "GBRG"])
+def test_rcd_reconstructs_smooth(pattern):
+    rgb = smooth_image()
+    cfa = mosaic_of(rgb, pattern)
+    out = np.asarray(demosaic(cfa, pattern, "rcd"))
+    err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
+    assert err.mean() < 0.002, err.mean()
+    assert err.max() < 0.03, err.max()
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "GRBG"])
+def test_rcd_exact_on_linear_ramp(pattern):
+    h, w = 64, 96
+    ramp = np.linspace(0.2, 0.8, w)[None, None, :] * np.ones((3, h, 1)) * 65535
+    cfa = mosaic_of(ramp, pattern)
+    out = np.asarray(demosaic(cfa, pattern, "rcd"))
+    err = np.abs(out - ramp)[:, 12:-12, 12:-12] / 65535.0
+    assert err.max() < 1e-4
+
+
+def test_rcd_beats_bilinear_on_edges():
+    rgb = edge_image()
+    cfa = mosaic_of(rgb, "RGGB")
+    rcd = np.asarray(demosaic(cfa, "RGGB", "rcd"))
+    bil = np.asarray(demosaic(cfa, "RGGB", "fast"))
+    sl = (slice(None), slice(12, -12), slice(12, -12))
+    err_rcd = np.abs(rcd[sl] - rgb[sl]).mean()
+    err_bil = np.abs(bil[sl] - rgb[sl]).mean()
+    assert err_rcd < err_bil
+
+
+def test_rcd_preserves_cfa_samples():
+    rgb = smooth_image(seed=3)
+    cfa = mosaic_of(rgb, "RGGB")
+    out = np.asarray(demosaic(cfa, "RGGB", "rcd"))
+    # green at green sites must be the raw sample
+    from art_tpu.core.image import bayer_channel_masks
+
+    mr, mg, mb = bayer_channel_masks("RGGB", cfa.shape, xp=np)
+    inner = np.zeros_like(mg)
+    inner[12:-12, 12:-12] = True
+    np.testing.assert_allclose(out[1][mg & inner], cfa[mg & inner], rtol=1e-5)
+
+
+def test_mono_passthrough():
+    cfa = np.random.default_rng(0).uniform(0, 65535, (32, 32)).astype(np.float32)
+    out = np.asarray(demosaic(cfa, "RGGB", "mono"))
+    np.testing.assert_allclose(out[0], cfa)
+    np.testing.assert_allclose(out[2], cfa)
