@@ -90,6 +90,7 @@ def plan(frame, pp):
             frame, wb_mults, splan["scale_mul"], splan["c_white"],
             splan["cblack"], raw_expos, is_mono=(method == "mono"))
         data["rgb_mults"] = mults.astype(np.float32)
+        data["init_gain"] = np.float32(splan["gain"])
 
         # cam -> working matrix (colorSpaceConversion_ default path:
         # work_inv @ xyz_cam with xyz_cam = xyz_sRGB(D50) @ rgb_cam)
@@ -180,7 +181,8 @@ def _build_run(config: PipelineConfig):
                                      data["raw_scale"], jnp)
             from art_tpu.demosaic import demosaic as dem
 
-            rgb = dem(cfa, config.pattern, config.demosaic_method)
+            rgb = dem(cfa, config.pattern, config.demosaic_method,
+                      init_gain=data["init_gain"])
             rgb = rgb * data["rgb_mults"][:, None, None]
             if config.do_clip:
                 rgb = jnp.clip(rgb, 0.0, MAXVAL)

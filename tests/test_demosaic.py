@@ -82,3 +82,34 @@ def test_mono_passthrough():
     out = np.asarray(demosaic(cfa, "RGGB", "mono"))
     np.testing.assert_allclose(out[0], cfa)
     np.testing.assert_allclose(out[2], cfa)
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "BGGR", "GRBG", "GBRG"])
+def test_amaze_reconstructs_smooth(pattern):
+    rgb = smooth_image().astype(np.float32)
+    cfa = mosaic_of(rgb, pattern).astype(np.float32)
+    out = np.asarray(demosaic(cfa, pattern, "amaze"))
+    err = np.abs(out - rgb)[:, 20:-20, 20:-20] / 65535.0
+    assert err.mean() < 0.004, err.mean()
+
+
+def test_amaze_beats_rcd_on_zoneplate():
+    """Nyquist-frequency texture is AMaZE's specialty."""
+    h, w = 96, 128
+    yy, xx = np.mgrid[0:h, 0:w]
+    zp = 0.5 + 0.45 * np.cos((xx * xx + yy * yy) * 0.05)
+    rgb = (np.stack([zp * 0.8, zp, zp * 0.9]) * 65535.0).astype(np.float32)
+    cfa = mosaic_of(rgb, "RGGB").astype(np.float32)
+    am = np.asarray(demosaic(cfa, "RGGB", "amaze"))
+    rc = np.asarray(demosaic(cfa, "RGGB", "rcd"))
+    sl = (slice(None), slice(20, -20), slice(20, -20))
+    assert np.abs(am[sl] - rgb[sl]).mean() < np.abs(rc[sl] - rgb[sl]).mean()
+
+
+def test_amaze_exact_on_linear_ramp():
+    h, w = 64, 96
+    ramp = np.linspace(0.2, 0.8, w)[None, None, :] * np.ones((3, h, 1)) * 65535
+    cfa = mosaic_of(ramp, "RGGB").astype(np.float32)
+    out = np.asarray(demosaic(cfa, "RGGB", "amaze"))
+    err = np.abs(out - ramp)[:, 20:-20, 20:-20] / 65535.0
+    assert err.max() < 1e-3
