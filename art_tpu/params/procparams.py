@@ -426,13 +426,18 @@ class ChannelMixerParams(ParamGroup):
     ARP_GROUP = "Channel Mixer"
     ARP_SPEC = _spec(
         enabled=("Enabled", "b"),
+        mode=("Mode", "i"),
         red=("Red", "dl"), green=("Green", "dl"), blue=("Blue", "dl"),
+        hue_tweak=("HueTweak", "dl"), sat_tweak=("SatTweak", "dl"),
     )
     enabled: bool = False
+    mode: int = 0  # 0=RGB_MATRIX 1=PRIMARIES_CHROMA
     # 1000 = 1.0 in the reference's integer encoding
     red: list = _dl(1000, 0, 0)
     green: list = _dl(0, 1000, 0)
     blue: list = _dl(0, 0, 1000)
+    hue_tweak: list = _dl(0, 0, 0)
+    sat_tweak: list = _dl(0, 0, 0)
 
 
 @dataclass

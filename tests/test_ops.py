@@ -1,0 +1,127 @@
+"""Per-op tests (reference semantics checks on small images)."""
+
+import numpy as np
+import pytest
+
+from art_tpu.io.rawfile import synthesize_bayer
+from art_tpu.params import ProcParams
+from art_tpu.pipeline import develop
+
+
+def flat_frame(color, shape=(32, 32)):
+    rgb = np.broadcast_to(np.asarray(color)[:, None, None],
+                          (3,) + shape).copy()
+    return synthesize_bayer(rgb)
+
+
+def center(out):
+    return out[:, 8:-8, 8:-8].mean(axis=(1, 2))
+
+
+def test_channel_mixer_swap():
+    # sRGB working space so the mixer's channel swap survives rgb2out
+    pp = ProcParams()
+    pp.icm.working_profile = "sRGB"
+    pp.chmixer.enabled = True
+    pp.chmixer.red = [0, 1000, 0]    # red output = green input
+    pp.chmixer.green = [1000, 0, 0]
+    pp.chmixer.blue = [0, 0, 1000]
+    frame = flat_frame([0.6, 0.2, 0.4])
+    base_pp = ProcParams()
+    base_pp.icm.working_profile = "sRGB"
+    out = center(develop(frame, pp))
+    base = center(develop(frame, base_pp))
+    np.testing.assert_allclose(out[0], base[1], atol=5e-3)
+    np.testing.assert_allclose(out[1], base[0], atol=5e-3)
+    np.testing.assert_allclose(out[2], base[2], atol=5e-3)
+
+
+def test_channel_mixer_primaries_identity():
+    pp = ProcParams()
+    pp.chmixer.enabled = True
+    pp.chmixer.mode = 1
+    frame = flat_frame([0.5, 0.4, 0.3])
+    out = center(develop(frame, pp))
+    base = center(develop(frame, ProcParams()))
+    np.testing.assert_allclose(out, base, atol=5e-3)
+
+
+def test_rgb_curves_single_channel():
+    pp = ProcParams()
+    pp.icm.working_profile = "sRGB"
+    pp.rgb_curves.enabled = True
+    pp.rgb_curves.rcurve = [1, 0, 0, 0.5, 0.75, 1, 1]  # brighten red only
+    frame = flat_frame([0.3, 0.3, 0.3])
+    base_pp = ProcParams()
+    base_pp.icm.working_profile = "sRGB"
+    out = center(develop(frame, pp))
+    base = center(develop(frame, base_pp))
+    assert out[0] > base[0] + 0.02
+    np.testing.assert_allclose(out[1:], base[1:], atol=3e-3)
+
+
+def test_softlight_increases_contrast():
+    pp = ProcParams()
+    pp.softlight.enabled = True
+    pp.softlight.strength = 100
+    dark = center(develop(flat_frame([0.1, 0.1, 0.1]), pp))
+    dark0 = center(develop(flat_frame([0.1, 0.1, 0.1]), ProcParams()))
+    bright = center(develop(flat_frame([0.7, 0.7, 0.7]), pp))
+    bright0 = center(develop(flat_frame([0.7, 0.7, 0.7]), ProcParams()))
+    assert dark.mean() < dark0.mean()       # shadows darker
+    assert bright.mean() > bright0.mean() - 1e-3  # highlights not darker
+
+
+def test_black_and_white_desaturates():
+    pp = ProcParams()
+    pp.bw.enabled = True
+    frame = flat_frame([0.6, 0.3, 0.2])
+    out = center(develop(frame, pp))
+    assert np.ptp(out) < 0.01  # all channels equal
+
+
+def test_bw_mixer_weights():
+    pp = ProcParams()
+    pp.bw.enabled = True
+    pp.bw.mixer_red = 100
+    pp.bw.mixer_green = 0
+    pp.bw.mixer_blue = 0
+    red_frame = flat_frame([0.8, 0.1, 0.1])
+    green_frame = flat_frame([0.1, 0.8, 0.1])
+    r_out = center(develop(red_frame, pp)).mean()
+    g_out = center(develop(green_frame, pp)).mean()
+    assert r_out > g_out + 0.1  # red-only mix: red scene much brighter
+
+
+def test_hsl_saturation_boost():
+    pp = ProcParams()
+    pp.hsl.enabled = True
+    # raise S across all hues: flat curve at 0.8
+    pp.hsl.scurve = [1, 0.0, 0.8, 0.35, 0.35, 0.5, 0.8, 0.35, 0.35]
+    frame = flat_frame([0.6, 0.3, 0.3])
+    out = center(develop(frame, pp))
+    base = center(develop(frame, ProcParams()))
+    assert (out[0] - out[1]) > (base[0] - base[1]) + 0.01
+
+
+def test_logenc_brightens_midgray():
+    pp = ProcParams()
+    pp.logenc.enabled = True
+    pp.logenc.auto_gain = False
+    pp.logenc.gain = 0.0
+    pp.logenc.regularization = 0
+    frame = flat_frame([0.18, 0.18, 0.18])
+    out = center(develop(frame, pp))
+    assert np.all(np.isfinite(out))
+    # log encoding maps mid-gray toward target gray (18%) position in the
+    # 0..1 range given blackEv -5, whiteEv 10: (0-(-5))/15 = 0.333 encoded
+    assert 0.2 < out.mean() < 0.9
+
+
+def test_exposure_black_point():
+    pp = ProcParams()
+    pp.exposure.black = 5.0
+    frame = flat_frame([0.1, 0.1, 0.1])
+    out = center(develop(frame, pp))
+    base = center(develop(frame, ProcParams()))
+    assert out.mean() < base.mean()
