@@ -184,10 +184,7 @@ _KAPPA = 24389.0 / 27.0
 
 def xyz_to_lab(x, y, z, xp=np):
     def f(t):
-        return xp.where(
-            t > _EPS, xp.cbrt(t) if xp is np else t ** (1.0 / 3.0),
-            (_KAPPA * t + 16.0) / 116.0,
-        )
+        return xp.where(t > _EPS, xp.cbrt(t), (_KAPPA * t + 16.0) / 116.0)
 
     fx = f(x / D50_WHITE[0])
     fy = f(y / D50_WHITE[1])

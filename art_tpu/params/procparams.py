@@ -609,7 +609,8 @@ class DehazeParams(ParamGroup):
         luminance=("Luminance", "b"), blackpoint=("Blackpoint", "i"),
     )
     enabled: bool = False
-    strength: list = _dl(0.0, 0.0, 0.75, 0.5, 1.0, 0.75)
+    # flat curve: constant 0.75 strength (procparams.cc:2696-2706)
+    strength: list = _dl(1, 0.0, 0.75, 0.0, 0.0, 1.0, 0.75, 0.0, 0.0)
     show_depth_map: bool = False
     depth: int = 25
     luminance: bool = False

@@ -125,3 +125,48 @@ def test_exposure_black_point():
     out = center(develop(frame, pp))
     base = center(develop(frame, ProcParams()))
     assert out.mean() < base.mean()
+
+
+def test_tone_equalizer_shadow_lift():
+    pp = ProcParams()
+    pp.tone_equalizer.enabled = True
+    pp.tone_equalizer.band1 = 60  # lift shadows
+    pp.tone_equalizer.regularization = 0
+    dark = center(develop(flat_frame([0.03, 0.03, 0.03]), pp))
+    dark0 = center(develop(flat_frame([0.03, 0.03, 0.03]), ProcParams()))
+    bright = center(develop(flat_frame([0.6, 0.6, 0.6]), pp))
+    bright0 = center(develop(flat_frame([0.6, 0.6, 0.6]), ProcParams()))
+    assert dark.mean() > dark0.mean() + 0.01
+    assert abs(bright.mean() - bright0.mean()) < 0.02
+
+
+def test_dehaze_runs_and_is_finite():
+    rng = np.random.default_rng(5)
+    rgb = rng.uniform(0.3, 0.8, size=(3, 64, 64))  # hazy-ish (lifted blacks)
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.dehaze.enabled = True
+    out = develop(frame, pp)
+    assert np.all(np.isfinite(out))
+    base = develop(frame, ProcParams())
+    assert not np.allclose(out, base)  # it did something
+
+
+def test_impulse_denoise_removes_salt():
+    rng = np.random.default_rng(7)
+    rgb = np.full((3, 64, 64), 0.4)
+    frame = synthesize_bayer(rgb)
+    # inject hot pixels into the mosaic
+    cfa = frame.cfa.copy()
+    ys, xs = rng.integers(10, 54, 12), rng.integers(10, 54, 12)
+    cfa[ys, xs] = 16383.0
+    frame.cfa = cfa
+    pp = ProcParams()
+    pp.impulse_denoise.enabled = True
+    pp.impulse_denoise.thresh = 80
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    # the impulse pass must reduce the deviation at/around hot pixels
+    dev_out = np.abs(out - np.median(out)).mean()
+    dev_base = np.abs(base - np.median(base)).mean()
+    assert dev_out < dev_base * 0.5
