@@ -38,8 +38,11 @@ class PipelineConfig:
     out_trc: tuple
     shape: tuple  # padded (H, W)
     orig_shape: tuple  # true (H, W)
-    # ordered tuple of (op_name, static_part) for enabled ops
+    # ordered tuple of (op_name, static_part, stage) for enabled ops;
+    # stage 0 runs before crop, stages 1-3 after (improcfun.cc:575-639)
     steps: tuple = ()
+    crop: tuple | None = None  # (y0, x0, h, w) in true coords
+    resize_to: tuple | None = None  # (out_h, out_w)
 
 
 def plan(frame, pp):
@@ -109,7 +112,16 @@ def plan(frame, pp):
         do_clip = False
         method = "none"
 
-    # op chain
+    # op chain with stage tags (SURVEY §2.4 execution order)
+    stage_of = {}
+    for nm in ops_pkg.STAGE_0:
+        stage_of[nm] = 0
+    for nm in ops_pkg.STAGE_1:
+        stage_of[nm] = 1
+    for nm in ops_pkg.STAGE_2:
+        stage_of[nm] = 2
+    for nm in ops_pkg.STAGE_3:
+        stage_of[nm] = 3
     steps = []
     for name in ops_pkg.ALL_STEPS:
         mod = ops_pkg.get_op(name)
@@ -119,8 +131,46 @@ def plan(frame, pp):
         if planned is None:
             continue
         static, op_data = planned
-        steps.append((name, tuple(static)))
+        steps.append((name, tuple(static), stage_of.get(name, 3)))
         data[f"op:{name}"] = op_data
+
+    # crop (reference stage_finish crop copy, simpleprocess.cc:357-383)
+    crop = None
+    if pp.crop.enabled:
+        cx = max(0, pp.crop.x)
+        cy = max(0, pp.crop.y)
+        cw = min(pp.crop.w if pp.crop.w > 0 else w, w - cx)
+        ch = min(pp.crop.h if pp.crop.h > 0 else h, h - cy)
+        if (cx, cy, cw, ch) != (0, 0, w, h):
+            crop = (cy, cx, ch, cw)
+
+    # resize target (ipresize.cc / ResizeParams semantics)
+    resize_to = None
+    if pp.resize.enabled:
+        src_h = crop[2] if crop else h
+        src_w = crop[3] if crop else w
+        rs = pp.resize
+        if rs.data_specified == 0:  # scale
+            scale_f = rs.scale
+        else:
+            sw = rs.width / src_w if rs.width > 0 else 1.0
+            sh = rs.height / src_h if rs.height > 0 else 1.0
+            if rs.data_specified == 1:
+                scale_f = sw
+            elif rs.data_specified == 2:
+                scale_f = sh
+            else:  # bounding box
+                scale_f = min(sw, sh)
+        if scale_f < 1.0 or rs.allow_upscaling:
+            oh = max(32, int(round(src_h * scale_f)))
+            ow = max(32, int(round(src_w * scale_f)))
+            if (oh, ow) != (src_h, src_w):
+                resize_to = (oh, ow)
+                from art_tpu.ops.resize import resize_plan
+
+                a_r, a_c = resize_plan((src_h, src_w), resize_to)
+                data["resize_rows"] = a_r
+                data["resize_cols"] = a_c
 
     # output transform (rgb2out fast path: matrix + TRC)
     from art_tpu.color.iccstore import get_instance
@@ -142,6 +192,8 @@ def plan(frame, pp):
         shape=tuple(shape),
         orig_shape=(h, w),
         steps=tuple(steps),
+        crop=crop,
+        resize_to=resize_to,
     )
     return config, data
 
@@ -190,9 +242,29 @@ def _build_run(config: PipelineConfig):
             rgb = inp
         rgb = _mat3(data["cam2work"], rgb)
 
-        for name, static in config.steps:
-            mod = ops_pkg.get_op(name)
-            rgb = mod.apply(rgb, data[f"op:{name}"], static)
+        for name, static, stage in config.steps:
+            if stage == 0:
+                mod = ops_pkg.get_op(name)
+                rgb = mod.apply(rgb, data[f"op:{name}"], static)
+
+        # crop between STAGE_0 and STAGE_1 (stage_finish crop copy); also
+        # drop the pad-to-tile margin so later stages see true pixels only
+        h0, w0 = config.orig_shape
+        if config.crop is not None:
+            cy, cx, ch, cw = config.crop
+            rgb = rgb[:, cy : cy + ch, cx : cx + cw]
+        else:
+            rgb = rgb[:, :h0, :w0]
+
+        for name, static, stage in config.steps:
+            if stage > 0:
+                mod = ops_pkg.get_op(name)
+                rgb = mod.apply(rgb, data[f"op:{name}"], static)
+
+        if config.resize_to is not None:
+            from art_tpu.ops.resize import apply_resize
+
+            rgb = apply_resize(rgb, data["resize_rows"], data["resize_cols"])
 
         # rgb2out: working -> output primaries + TRC encode, to [0,1]
         rgb = _mat3(data["work2out"], rgb)
@@ -216,8 +288,7 @@ def develop(frame, pp):
     else:
         inp, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
     out = _executor(config)(inp, data)
-    h, w = config.orig_shape
-    return np.asarray(out)[:, :h, :w]
+    return np.asarray(out)
 
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,

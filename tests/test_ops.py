@@ -170,3 +170,45 @@ def test_impulse_denoise_removes_salt():
     dev_out = np.abs(out - np.median(out)).mean()
     dev_base = np.abs(base - np.median(base)).mean()
     assert dev_out < dev_base * 0.5
+
+
+def test_crop_and_resize():
+    rng = np.random.default_rng(9)
+    rgb = rng.uniform(0.1, 0.9, size=(3, 96, 128))
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.crop.enabled = True
+    pp.crop.x, pp.crop.y, pp.crop.w, pp.crop.h = 16, 8, 80, 64
+    out = develop(frame, pp)
+    assert out.shape == (3, 64, 80)
+    # cropped content must match the same region of the uncropped develop
+    base = develop(frame, ProcParams())
+    np.testing.assert_allclose(out, base[:, 8:72, 16:96], atol=1e-4)
+
+    pp.resize.enabled = True
+    pp.resize.data_specified = 0
+    pp.resize.scale = 0.5
+    out2 = develop(frame, pp)
+    assert out2.shape == (3, 32, 40)
+    # downscale roughly preserves means (resampling is pre-gamma/linear,
+    # so Jensen's inequality shifts the encoded mean slightly on noise)
+    np.testing.assert_allclose(out2.mean(), out.mean(), atol=0.03)
+
+
+def test_gradient_darkens_one_side():
+    frame = synthesize_bayer(np.full((3, 48, 64), 0.4))
+    pp = ProcParams()
+    pp.gradient.enabled = True
+    pp.gradient.strength = 1.5
+    pp.gradient.degree = 0
+    out = develop(frame, pp)
+    assert out[:, :10].mean() < out[:, -10:].mean() - 0.1
+
+
+def test_pcvignette_darkens_corners():
+    frame = synthesize_bayer(np.full((3, 48, 64), 0.4))
+    pp = ProcParams()
+    pp.pcvignette.enabled = True
+    pp.pcvignette.strength = 2.0
+    out = develop(frame, pp)
+    assert out[:, :6, :6].mean() < out[:, 20:28, 28:36].mean() - 0.1
