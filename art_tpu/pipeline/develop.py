@@ -43,6 +43,9 @@ class PipelineConfig:
     steps: tuple = ()
     crop: tuple | None = None  # (y0, x0, h, w) in true coords
     resize_to: tuple | None = None  # (out_h, out_w)
+    hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
+    green_eq: float = 0.0
+    hl_mode: str = "Off"
 
 
 def plan(frame, pp):
@@ -95,6 +98,29 @@ def plan(frame, pp):
         data["rgb_mults"] = mults.astype(np.float32)
         data["init_gain"] = np.float32(splan["gain"])
 
+        # raw preprocessing flags (preprocess, rawimagesource.cc:1479-1845)
+        hotdead = None
+        if pp.raw.hotdead_enabled and (pp.raw.hotpixel_filter
+                                       or pp.raw.deadpixel_filter):
+            hotdead = (bool(pp.raw.hotpixel_filter),
+                       bool(pp.raw.deadpixel_filter),
+                       float(pp.raw.hotdead_thresh))
+        green_eq_t = 0.0
+        if (frame.pattern is not None and pp.raw.bayer.green_eq_enabled
+                and pp.raw.bayer.green_eq > 0):
+            green_eq_t = float(pp.raw.bayer.green_eq) / 100.0
+
+        # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
+        hl_mode = "Off"
+        if pp.exposure.enabled and pp.exposure.hrmode != "Off":
+            hl_mode = {"Blend": "blend", "Color": "opposed",
+                       "ColorSoft": "opposed"}.get(pp.exposure.hrmode, "Off")
+        if hl_mode != "Off":
+            wb_cam = wbmod.wb_camera_multipliers(frame, wb_mults)
+            data["hl_scale_mul"] = splan["scale_mul"][:3].astype(np.float32)
+            data["hl_wb_cam"] = wb_cam.astype(np.float32)
+            data["hl_max"] = (splan["clmax"] * mults).astype(np.float32)
+
         # cam -> working matrix (colorSpaceConversion_ default path:
         # work_inv @ xyz_cam with xyz_cam = xyz_sRGB(D50) @ rgb_cam)
         rgb_cam, _, _ = frame.color_matrices()
@@ -103,6 +129,9 @@ def plan(frame, pp):
         data["cam2work"] = cam2work.astype(np.float32)
         do_clip = not (pp.exposure.enabled and pp.exposure.hrmode != "Off")
     else:
+        hotdead = None
+        green_eq_t = 0.0
+        hl_mode = "Off"
         h, w = frame.shape
         rgb_padded, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
         shape = rgb_padded.shape[1:]
@@ -194,6 +223,9 @@ def plan(frame, pp):
         steps=tuple(steps),
         crop=crop,
         resize_to=resize_to,
+        hotdead=hotdead,
+        green_eq=green_eq_t,
+        hl_mode=hl_mode,
     )
     return config, data
 
@@ -231,11 +263,35 @@ def _build_run(config: PipelineConfig):
         if config.is_raw:
             cfa = rawpre.apply_scale(inp, data["raw_offset"],
                                      data["raw_scale"], jnp)
+            if config.hotdead is not None and config.pattern is not None:
+                from art_tpu.core.image import bayer_channel_masks
+                from art_tpu.raw.badpixels import (find_hot_dead,
+                                                   interpolate_bad_bayer)
+
+                find_hot, find_dead, thr = config.hotdead
+                _, mg, _ = bayer_channel_masks(config.pattern, cfa.shape)
+                bad = find_hot_dead(cfa, thr, find_hot, find_dead)
+                cfa = interpolate_bad_bayer(cfa, bad, mg)
+            if config.green_eq > 0 and config.pattern is not None:
+                from art_tpu.core.image import bayer_channel_masks
+                from art_tpu.raw.green_eq import green_equilibrate
+
+                _, mg, _ = bayer_channel_masks(config.pattern, cfa.shape)
+                cfa = green_equilibrate(cfa, mg, config.green_eq)
             from art_tpu.demosaic import demosaic as dem
 
             rgb = dem(cfa, config.pattern, config.demosaic_method,
                       init_gain=data["init_gain"])
+            if config.hl_mode == "opposed":
+                from art_tpu.raw.hilite import recover_opposed
+
+                rgb = recover_opposed(rgb, data["hl_scale_mul"],
+                                      data["hl_wb_cam"])
             rgb = rgb * data["rgb_mults"][:, None, None]
+            if config.hl_mode == "blend":
+                from art_tpu.raw.hilite import recover_blend
+
+                rgb = recover_blend(rgb, data["hl_max"])
             if config.do_clip:
                 rgb = jnp.clip(rgb, 0.0, MAXVAL)
         else:

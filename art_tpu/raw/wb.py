@@ -215,3 +215,13 @@ def image_multipliers(frame, wb_mults_rgb, scale_mul, c_white, cblack,
 
     expcomp = 2.0 ** frame.baseline_exposure
     return np.array([rm, gm, bm]) * expcomp, gain
+
+
+def wb_camera_multipliers(frame, wb_mults_rgb):
+    """wbMul2Camera (rawimagesource.cc:4708): ColorTemp RGB multipliers ->
+    camera-space per-channel multipliers, green-normalized."""
+    _, cam_rgb, _ = frame.color_matrices()
+    pm = frame.pre_mul()
+    cam_v = cam_rgb @ np.asarray(wb_mults_rgb, dtype=np.float64)
+    w = pm[:3] / np.maximum(cam_v, 1e-9)
+    return np.array([w[0] / w[1], 1.0, w[2] / w[1]])
