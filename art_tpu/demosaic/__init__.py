@@ -9,9 +9,13 @@ rcdbilinear, vng4, fast, mono, pixelshift, none).
 from __future__ import annotations
 
 
-def demosaic(cfa, pattern, method="amaze", xp=None, **kwargs):
+def demosaic(cfa, pattern, method="amaze", xp=None, xtrans=None, **kwargs):
     from art_tpu.demosaic import bilinear
 
+    if xtrans is not None:
+        from art_tpu.demosaic.xtrans import demosaic_xtrans
+
+        return demosaic_xtrans(cfa, xtrans, method, **kwargs)
     method = method.lower()
     if method in ("bilinear",):
         return bilinear.bayer_bilinear(cfa, pattern)

@@ -152,6 +152,44 @@ def synthesize_bayer(rgb01, pattern="RGGB", black=512.0, white=16383.0,
     )
 
 
+# canonical Fuji X-Trans pattern (dcraw ordering, 0=R 1=G 2=B)
+XTRANS_CANONICAL = (
+    (1, 1, 0, 1, 1, 2),
+    (1, 1, 2, 1, 1, 0),
+    (2, 0, 1, 0, 2, 1),
+    (1, 1, 2, 1, 1, 0),
+    (1, 1, 0, 1, 1, 2),
+    (0, 2, 1, 2, 0, 1),
+)
+
+
+def synthesize_xtrans(rgb01, black=512.0, white=16383.0,
+                      cam_mul=(2.0, 1.0, 1.5), pattern=XTRANS_CANONICAL):
+    """X-Trans companion to synthesize_bayer."""
+    rgb01 = np.asarray(rgb01, dtype=np.float64)
+    _, h, w = rgb01.shape
+    cam_mul = np.asarray(cam_mul, dtype=np.float64)
+    sensor = rgb01 / cam_mul[:, None, None]
+    from art_tpu.core.image import xtrans_color_index
+
+    cidx = xtrans_color_index(pattern, (h, w))
+    mosaic = np.take_along_axis(
+        sensor.reshape(3, -1), cidx.reshape(1, -1), axis=0
+    ).reshape(h, w)
+    adu = np.clip(mosaic * (white - black) + black, 0, white)
+    return RawFrame(
+        cfa=adu.astype(np.float32),
+        pattern=None,
+        xtrans=pattern,
+        black=np.full(4, float(black)),
+        white=np.full(4, float(white)),
+        cam_mul=np.array([cam_mul[0], cam_mul[1], cam_mul[2], cam_mul[1]]),
+        cam_xyz=None,
+        make="ART-TPU", model="SyntheticXT",
+        filename="<synthetic-xtrans>",
+    )
+
+
 def load_raw(path) -> RawFrame:
     """Decode a raw file on host. DNG via the native decoder; others via
     registered external preconverters (imgiomanager semantics)."""

@@ -281,7 +281,7 @@ def _build_run(config: PipelineConfig):
             from art_tpu.demosaic import demosaic as dem
 
             rgb = dem(cfa, config.pattern, config.demosaic_method,
-                      init_gain=data["init_gain"])
+                      xtrans=config.xtrans, init_gain=data["init_gain"])
             if config.hl_mode == "opposed":
                 from art_tpu.raw.hilite import recover_opposed
 

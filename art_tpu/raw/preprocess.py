@@ -90,6 +90,8 @@ def apply_scale(cfa, offset_tile, scale_tile, xp):
     broadcast over the mosaic (scaleColors inner loop)."""
     h, w = cfa.shape
     th, tw = offset_tile.shape
-    offset = xp.tile(offset_tile, (h // th, w // tw))
-    scale = xp.tile(scale_tile, (h // th, w // tw))
+    ry = -(-h // th)
+    rx = -(-w // tw)
+    offset = xp.tile(offset_tile, (ry, rx))[:h, :w]
+    scale = xp.tile(scale_tile, (ry, rx))[:h, :w]
     return xp.maximum(cfa - offset, 0.0) * scale

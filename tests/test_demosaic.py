@@ -113,3 +113,35 @@ def test_amaze_exact_on_linear_ramp():
     out = np.asarray(demosaic(cfa, "RGGB", "amaze"))
     err = np.abs(out - ramp)[:, 20:-20, 20:-20] / 65535.0
     assert err.max() < 1e-3
+
+
+def test_fast_xtrans_flat_field():
+    from art_tpu.io.rawfile import synthesize_xtrans
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline import develop
+    from art_tpu.color import colorspaces as cs
+
+    color = np.array([0.45, 0.35, 0.55])
+    rgb = np.broadcast_to(color[:, None, None], (3, 48, 48)).copy()
+    frame = synthesize_xtrans(rgb)
+    pp = ProcParams()
+    pp.raw.xtrans.method = "fast"
+    out = np.asarray(develop(frame, pp))
+    got = out[:, 12:-12, 12:-12].mean(axis=(1, 2))
+    np.testing.assert_allclose(got, cs.srgb_gamma(color), atol=5e-3)
+
+
+def test_xtrans_gradient():
+    from art_tpu.io.rawfile import synthesize_xtrans
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline import develop
+
+    h, w = 64, 96
+    ramp = np.linspace(0.2, 0.8, w)[None, None, :] * np.ones((3, h, 1))
+    frame = synthesize_xtrans(ramp)
+    out = np.asarray(develop(frame, ProcParams()))
+    from art_tpu.color import colorspaces as cs
+
+    expected = cs.srgb_gamma(ramp)
+    err = np.abs(out - expected)[:, 12:-12, 12:-12]
+    assert err.mean() < 0.01
