@@ -1,0 +1,80 @@
+"""Film simulation via 3D LUT (reference: ipfilmsim.cc + clutstore.cc).
+
+Pipeline semantics (CLUTApplication::do_apply, clutstore.cc:1502-1616):
+working -> sRGB primaries, sRGB gamma encode, 3D LUT with strength blend,
+inverse gamma, back to working space. Runs before or after the tone curve
+(filmSimulation.after_tone_curve), handled by the filmsim_pre/_post step
+names in the op order.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from art_tpu.color import colorspaces as cs
+from art_tpu.color.lut3d import apply_tetrahedral, load_lut3d
+from art_tpu.core.image import MAXVAL
+
+_lut_cache: dict = {}
+
+
+def _plan_common(pp, ctx, want_after):
+    fs = pp.film_simulation
+    if not fs.enabled or not fs.clut_filename:
+        return None
+    if bool(fs.after_tone_curve) != want_after:
+        return None
+    key = fs.clut_filename
+    if key not in _lut_cache:
+        try:
+            _lut_cache[key] = load_lut3d(fs.clut_filename)
+        except (OSError, ValueError):
+            _lut_cache[key] = None
+    table = _lut_cache[key]
+    if table is None:
+        return None
+    work = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]]
+    to_srgb = cs.MATRICES_XYZ_TO_RGB["sRGB"] @ work
+    to_work = np.linalg.inv(to_srgb)
+    data = {
+        "table": table,
+        "to_clut": to_srgb.astype(np.float32),
+        "to_work": to_work.astype(np.float32),
+        "strength": np.float32(np.clip(fs.strength / 100.0, 0.0, 1.0)),
+    }
+    same = ctx["working_profile"] == "sRGB"
+    return (same,), data
+
+
+def plan(pp, ctx):
+    # called as "filmsim_pre" or "filmsim_post" via candidates map; default
+    # entry (this function) covers the pre-curve position
+    return _plan_common(pp, ctx, want_after=False)
+
+
+def plan_post(pp, ctx):
+    return _plan_common(pp, ctx, want_after=True)
+
+
+def _mat3(m, rgb):
+    return jnp.stack([
+        m[0, 0] * rgb[0] + m[0, 1] * rgb[1] + m[0, 2] * rgb[2],
+        m[1, 0] * rgb[0] + m[1, 1] * rgb[1] + m[1, 2] * rgb[2],
+        m[2, 0] * rgb[0] + m[2, 1] * rgb[1] + m[2, 2] * rgb[2],
+    ])
+
+
+def apply(rgb, data, static):
+    (same,) = static
+    x = rgb / MAXVAL
+    if not same:
+        x = _mat3(data["to_clut"], x)
+    enc = cs.srgb_gamma(jnp.clip(x, 0.0, 1.0), jnp)
+    r2, g2, b2 = apply_tetrahedral(enc[0], enc[1], enc[2], data["table"])
+    s = data["strength"]
+    out_enc = jnp.stack([r2, g2, b2]) * s + enc * (1.0 - s)
+    x = cs.srgb_igamma(out_enc, jnp)
+    if not same:
+        x = _mat3(data["to_work"], x)
+    return x * MAXVAL

@@ -156,7 +156,10 @@ def plan(frame, pp):
         mod = ops_pkg.get_op(name)
         if mod is None:
             continue
-        planned = mod.plan(pp, ctx)
+        plan_fn = mod.plan
+        if name.endswith("_post") and hasattr(mod, "plan_post"):
+            plan_fn = mod.plan_post
+        planned = plan_fn(pp, ctx)
         if planned is None:
             continue
         static, op_data = planned

@@ -212,3 +212,54 @@ def test_pcvignette_darkens_corners():
     pp.pcvignette.strength = 2.0
     out = develop(frame, pp)
     assert out[:, :6, :6].mean() < out[:, 20:28, 28:36].mean() - 0.1
+
+
+def test_film_simulation_hald_clut(tmp_path):
+    # identity Hald CLUT level 4 (n=16) -> output == base; then a red-boost
+    import numpy as np
+    from PIL import Image
+
+    n = 16
+    b, g, r = np.meshgrid(np.arange(n), np.arange(n), np.arange(n),
+                          indexing="ij")
+    flat = np.stack([r, g, b], axis=-1).reshape(-1, 3) / (n - 1)
+    side = int(np.sqrt(n ** 3))
+    img = (flat.reshape(side, side, 3) * 255 + 0.5).astype(np.uint8)
+    ident = tmp_path / "identity.png"
+    Image.fromarray(img).save(ident)
+
+    frame = flat_frame([0.5, 0.35, 0.3])
+    pp = ProcParams()
+    pp.film_simulation.enabled = True
+    pp.film_simulation.clut_filename = str(ident)
+    out = center(develop(frame, pp))
+    base = center(develop(frame, ProcParams()))
+    np.testing.assert_allclose(out, base, atol=0.01)
+
+    # red-boosted LUT
+    boosted = flat.copy()
+    boosted[:, 0] = np.clip(boosted[:, 0] * 1.3, 0, 1)
+    img2 = (boosted.reshape(side, side, 3) * 255 + 0.5).astype(np.uint8)
+    boost = tmp_path / "boost.png"
+    Image.fromarray(img2).save(boost)
+    pp.film_simulation.clut_filename = str(boost)
+    out2 = center(develop(frame, pp))
+    assert out2[0] > base[0] + 0.02
+
+
+def test_film_simulation_cube(tmp_path):
+    cube = tmp_path / "test.cube"
+    n = 4
+    lines = ["LUT_3D_SIZE 4"]
+    for b in range(n):
+        for g in range(n):
+            for r in range(n):
+                lines.append(f"{r/(n-1):.4f} {g/(n-1):.4f} {b/(n-1):.4f}")
+    cube.write_text("\n".join(lines))
+    frame = flat_frame([0.4, 0.5, 0.6])
+    pp = ProcParams()
+    pp.film_simulation.enabled = True
+    pp.film_simulation.clut_filename = str(cube)
+    out = center(develop(frame, pp))
+    base = center(develop(frame, ProcParams()))
+    np.testing.assert_allclose(out, base, atol=0.01)
