@@ -143,6 +143,27 @@ def main(argv=None):
     from art_tpu.io import load_image
     from art_tpu.pipeline import process_image
 
+    if opts["devices"] > 1 and len(opts["inputs"]) > 1:
+        # sharded batch path (replaces the serial batch thread)
+        from art_tpu.parallel import process_batch
+        import jax
+
+        jobs = []
+        for inp in opts["inputs"]:
+            pp = compose_params(inp, opts)
+            if pp is None:
+                print(f"skipping {inp} (no sidecar)")
+                continue
+            outp = output_path_for(inp, opts)
+            if os.path.exists(outp) and not opts["overwrite"]:
+                print(f"error: output {outp} exists (use -Y)", file=sys.stderr)
+                continue
+            jobs.append((inp, pp, outp))
+        devs = jax.devices()[: opts["devices"]]
+        results = process_batch(jobs, devices=devs,
+                                progress=lambda i, o: print(f"-> {o}"))
+        return 0 if all(results) else 2
+
     errors = 0
     for inp in opts["inputs"]:
         pp = compose_params(inp, opts)
