@@ -1,0 +1,245 @@
+"""Masking subsystem (reference: rtengine/masks.cc + procparams.h:101-330).
+
+Shared by colorCorrection, smoothing, textureBoost, localContrast. Each
+region carries a composite Mask: parametric (H/C/L flat curves over
+Lab-derived coordinates), area shapes (rectangles/gradients/polygons,
+rasterized on host), delta-E picking, plus common controls (blur, curve,
+posterization, opacity, inversion).
+
+Device evaluation follows masks.cc:1190-1260: l = L/32768 equivalent,
+c = lin2log(chroma, 50), h = offset log-warped hue; blend = dE * hm(h) *
+cm(c) * lm(l), then blur/area/curve/opacity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from art_tpu.color import colorspaces as cs
+from art_tpu.color.curves import DiagonalCurve, FlatCurve
+from art_tpu.core.curve1d import eval_curve, fit_curve
+from art_tpu.core.image import MAXVAL
+from art_tpu.ops.filters import gauss_blur
+
+# reference defaults (procparams.cc:1014-1052) — identity curves
+DEFAULT_HUE = [1, 0.166666667, 1.0, 0.35, 0.35, 0.8287775246, 1.0, 0.35,
+               0.35]
+DEFAULT_CC = [1, 0.0, 1.0, 0.35, 0.35, 1.0, 1.0, 0.35, 0.35]
+
+
+@dataclasses.dataclass
+class MaskSpec:
+    enabled: bool = True
+    inverted: bool = False
+    parametric_enabled: bool = False
+    hue: list = dataclasses.field(default_factory=lambda: list(DEFAULT_HUE))
+    chromaticity: list = dataclasses.field(
+        default_factory=lambda: list(DEFAULT_CC))
+    lightness: list = dataclasses.field(
+        default_factory=lambda: list(DEFAULT_CC))
+    parametric_blur: float = 0.0
+    area_enabled: bool = False
+    area_shapes: list = dataclasses.field(default_factory=list)
+    area_feather: float = 0.0
+    area_blur: float = 0.0
+    deltae_enabled: bool = False
+    deltae_lch: tuple = (0.0, 0.0, 0.0)
+    deltae_range: float = 1.0
+    deltae_decay: float = 1.0
+    curve: list = dataclasses.field(default_factory=lambda: [0])
+    posterization: int = 0
+    smoothing: int = 0
+    opacity: float = 1.0
+
+    @classmethod
+    def from_keyfile(cls, kf, group, suffix, prefix=""):
+        """Parse the suffixed mask keys (procparams.cc:1432-1496)."""
+        m = cls()
+        g = lambda key, kind, dflt: {
+            "b": kf.get_bool, "f": kf.get_float, "i": kf.get_int,
+            "dl": kf.get_double_list, "s": kf.get_string,
+        }[kind](group, prefix + key + suffix, dflt)
+        m.enabled = g("MaskEnabled", "b", True)
+        m.inverted = g("MaskInverted", "b", False)
+        m.curve = g("MaskCurve", "dl", [0])
+        m.posterization = g("MaskPosterization", "i", 0)
+        m.smoothing = g("MaskSmoothing", "i", 0)
+        m.opacity = g("MaskOpacity", "f", 1.0)
+        m.parametric_enabled = g("ParametricMaskEnabled", "b", False)
+        m.hue = g("HueMask", "dl", DEFAULT_HUE)
+        m.chromaticity = g("ChromaticityMask", "dl", DEFAULT_CC)
+        m.lightness = g("LightnessMask", "dl", DEFAULT_CC)
+        m.parametric_blur = g("ParametricMaskBlur", "f", 0.0)
+        m.area_enabled = g("AreaMaskEnabled", "b", False)
+        m.area_feather = g("AreaMaskFeather", "f", 0.0)
+        m.area_blur = g("AreaMaskBlur", "f", 0.0)
+        # shapes: AreaMask<N>Type etc.
+        n = 0
+        while True:
+            t = kf.get_string(group, f"{prefix}AreaMask{n}Type{suffix}", "")
+            if not t:
+                break
+            shape = {"type": t.lower()}
+            for key in ("X", "Y", "Width", "Height", "Angle", "Roundness",
+                        "StrengthStart", "StrengthEnd", "ShapeFeather"):
+                shape[key.lower()] = kf.get_float(
+                    group, f"{prefix}AreaMask{n}{key}{suffix}", 0.0)
+            shape["knots"] = kf.get_double_list(
+                group, f"{prefix}AreaMask{n}Knots{suffix}", [])
+            shape["mode"] = kf.get_string(
+                group, f"{prefix}AreaMask{n}Mode{suffix}", "add").lower()
+            m.area_shapes.append(shape)
+            n += 1
+        m.deltae_enabled = g("DeltaEMaskEnabled", "b", False)
+        m.deltae_lch = (g("DeltaEMaskL", "f", 0.0),
+                        g("DeltaEMaskC", "f", 0.0),
+                        g("DeltaEMaskH", "f", 0.0))
+        m.deltae_range = g("DeltaEMaskRange", "f", 1.0)
+        m.deltae_decay = g("DeltaEMaskDecay", "f", 1.0)
+        return m
+
+    def is_trivial(self):
+        return not (self.parametric_enabled or self.area_enabled
+                    or self.deltae_enabled or self.inverted
+                    or (self.curve and len(self.curve) > 1))
+
+
+def _lin2log(x, base):
+    return np.log(x * (base - 1.0) + 1.0) / np.log(base)
+
+
+def _lin2log_j(x, base):
+    return jnp.log(x * (base - 1.0) + 1.0) / np.log(base)
+
+
+def rasterize_area(shapes, h, w):
+    """Host rasterization of area shapes -> float32 (h, w) alpha."""
+    import cv2
+
+    out = np.zeros((h, w), dtype=np.float32)
+    for s in shapes:
+        alpha = np.zeros((h, w), dtype=np.float32)
+        cx = (s.get("x", 0.0) / 200.0 + 0.5) * w
+        cy = (s.get("y", 0.0) / 200.0 + 0.5) * h
+        if s["type"] in ("rectangle", "rect"):
+            ww = s.get("width", 100.0) / 100.0 * w / 2.0
+            hh = s.get("height", 100.0) / 100.0 * h / 2.0
+            angle = np.radians(s.get("angle", 0.0))
+            box = cv2.boxPoints(((cx, cy), (2 * ww, 2 * hh),
+                                 -np.degrees(angle)))
+            cv2.fillPoly(alpha, [box.astype(np.int32)], 1.0)
+        elif s["type"] == "polygon" and len(s.get("knots", [])) >= 6:
+            k = np.asarray(s["knots"], dtype=np.float64)
+            pts = np.stack([(k[0::3] / 200.0 + 0.5) * w,
+                            (k[1::3] / 200.0 + 0.5) * h], axis=1)
+            cv2.fillPoly(alpha, [pts.astype(np.int32)], 1.0)
+        elif s["type"] == "gradient":
+            angle = np.radians(s.get("angle", 0.0))
+            ss = s.get("strengthstart", 100.0) / 100.0
+            se = s.get("strengthend", 0.0) / 100.0
+            yy, xx = np.mgrid[0:h, 0:w]
+            d = ((xx - cx) * np.sin(angle) + (yy - cy) * np.cos(angle))
+            span = max(h, w) * max(s.get("shapefeather", 25.0), 1.0) / 100.0
+            t = np.clip(d / span + 0.5, 0.0, 1.0)
+            alpha = (ss + (se - ss) * t).astype(np.float32)
+        feather = s.get("shapefeather", 0.0)
+        if feather > 0 and s["type"] != "gradient":
+            sigma = feather / 100.0 * min(h, w) * 0.1 + 0.5
+            alpha = cv2.GaussianBlur(alpha, (0, 0), sigma)
+        if s.get("mode") == "subtract":
+            out = np.clip(out - alpha, 0.0, 1.0)
+        elif s.get("mode") == "intersect":
+            out = out * alpha
+        else:
+            out = np.clip(out + alpha, 0.0, 1.0)
+    return out
+
+
+def plan_mask(mask: MaskSpec, shape):
+    """Host planner for one region mask -> (static, data)."""
+    h, w = shape
+    data = {}
+    use_param = False
+    if mask.parametric_enabled:
+        hm = FlatCurve(mask.hue, periodic=True, identity_value=1.0)
+        cm = FlatCurve(mask.chromaticity, periodic=False, identity_value=1.0)
+        lm = FlatCurve(mask.lightness, periodic=False, identity_value=1.0)
+        hue_dflt = mask.hue == DEFAULT_HUE
+        cc_dflt = mask.chromaticity == DEFAULT_CC
+        l_dflt = mask.lightness == DEFAULT_CC
+        if not (hue_dflt and cc_dflt and l_dflt):
+            use_param = True
+            data["hm"] = fit_curve(hm.lut(8192))
+            data["cm"] = fit_curve(cm.lut(8192))
+            data["lm"] = fit_curve(lm.lut(8192))
+    use_area = False
+    if mask.area_enabled and mask.area_shapes:
+        use_area = True
+        data["area"] = rasterize_area(mask.area_shapes, h, w)
+    use_curve = False
+    mc = DiagonalCurve(mask.curve)
+    if not mc.is_identity():
+        use_curve = True
+        data["mcurve"] = fit_curve(mc.lut(8192))
+    use_de = bool(mask.deltae_enabled)
+    if use_de:
+        data["de_ref"] = np.array(mask.deltae_lch, dtype=np.float32)
+        data["de_range"] = np.float32(mask.deltae_range)
+        data["de_decay"] = np.float32(max(mask.deltae_decay, 1e-3))
+    static = (use_param, use_area, use_curve, use_de,
+              bool(mask.inverted), float(mask.parametric_blur),
+              float(mask.area_blur), int(mask.posterization),
+              float(mask.opacity))
+    return static, data
+
+
+def eval_mask(rgb, ws, static, data):
+    """Device: evaluate one region mask -> (H, W) in [0,1]."""
+    (use_param, use_area, use_curve, use_de, inverted, pblur, ablur,
+     posterization, opacity) = static
+    x = rgb / MAXVAL
+    xx = ws[0, 0] * x[0] + ws[0, 1] * x[1] + ws[0, 2] * x[2]
+    yy = ws[1, 0] * x[0] + ws[1, 1] * x[1] + ws[1, 2] * x[2]
+    zz = ws[2, 0] * x[0] + ws[2, 1] * x[1] + ws[2, 2] * x[2]
+    L, a, b = cs.xyz_to_lab(xx, yy, zz, jnp)
+    l01 = jnp.clip(L / 100.0, 0.0, 1.0)
+
+    m = jnp.ones_like(l01)
+    if use_param:
+        c = jnp.hypot(a, b) / 182.0  # ~42000/32768 scaling of the reference
+        c = _lin2log_j(jnp.clip(c, 0.0, 1.0), 50.0)
+        hgl = jnp.arctan2(b, a) / (2 * jnp.pi)
+        h01 = jnp.mod(hgl + 1.0 + 1.0 / 6.0, 1.0)
+        h01 = _lin2log_j(h01, 3.0)
+        m = (eval_curve(h01, data["hm"], in_max=1.0, out_max=1.0)
+             * eval_curve(c, data["cm"], in_max=1.0, out_max=1.0)
+             * eval_curve(l01, data["lm"], in_max=1.0, out_max=1.0))
+        if pblur > 0:
+            m = gauss_blur(m, pblur)
+    if use_de:
+        ref = data["de_ref"]
+        c = jnp.hypot(a, b)
+        hh = jnp.degrees(jnp.arctan2(b, a))
+        dL = (L - ref[0])
+        dC = (c - ref[1])
+        dH = jnp.abs(jnp.mod(hh - ref[2] + 180.0, 360.0) - 180.0)
+        de = jnp.sqrt((0.5 * dL) ** 2 + (0.75 * dC) ** 2 + (1.0 * dH) ** 2)
+        sel = jnp.exp(-jnp.maximum(de - data["de_range"], 0.0)
+                      / (data["de_decay"] * 10.0))
+        m = m * sel
+    if use_area:
+        area = data["area"]
+        if ablur > 0:
+            area = gauss_blur(area, ablur)
+        m = m * area
+    if use_curve:
+        m = eval_curve(m, data["mcurve"], in_max=1.0, out_max=1.0)
+    if posterization > 0:
+        levels = float(2 ** posterization)
+        m = jnp.round(m * levels) / levels
+    if inverted:
+        m = 1.0 - m
+    return jnp.clip(m * opacity, 0.0, 1.0)
