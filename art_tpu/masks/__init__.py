@@ -243,3 +243,40 @@ def eval_mask(rgb, ws, static, data):
     if inverted:
         m = 1.0 - m
     return jnp.clip(m * opacity, 0.0, 1.0)
+
+
+def regions_from_extra(pp, group, field_spec):
+    """Parse suffixed region params + masks from ProcParams.extra[group].
+
+    field_spec: {python_name: (arp_key_base, kind, default)} with kinds
+    b/i/f/s/dl; keys are read as f"{base}_{j}". Returns list of
+    (params_dict, MaskSpec).
+    """
+    from art_tpu.params.keyfile import KeyFile
+
+    if group not in pp.extra:
+        return None
+    kf = KeyFile()
+    kf.groups[group] = dict(pp.extra[group])
+    if not kf.get_bool(group, "Enabled", False):
+        return None
+    out = []
+    j = 1
+    first_base = next(iter(field_spec.values()))[0]
+    while True:
+        sfx = f"_{j}"
+        if not any(kf.has(group, spec[0] + sfx)
+                   for spec in field_spec.values()):
+            if not kf.has(group, f"MaskEnabled{sfx}"):
+                break
+        params = {}
+        for name, (base, kind, dflt) in field_spec.items():
+            getter = {"b": kf.get_bool, "i": kf.get_int, "f": kf.get_float,
+                      "s": kf.get_string, "dl": kf.get_double_list}[kind]
+            params[name] = getter(group, base + sfx, dflt)
+        mask = MaskSpec.from_keyfile(kf, group, sfx)
+        out.append((params, mask))
+        j += 1
+        if j > 64:
+            break
+    return out or None

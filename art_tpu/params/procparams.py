@@ -732,15 +732,6 @@ class BlackWhiteParams(ParamGroup):
 
 
 @dataclass
-class LocalContrastParams(ParamGroup):
-    """Simplified single-region local contrast (full region list later)."""
-    ARP_GROUP = "Local Contrast"
-    ARP_SPEC = _spec(enabled=("Enabled", "b"))
-    enabled: bool = False
-    regions: list = field(default_factory=list)
-
-
-@dataclass
 class RotateParams(ParamGroup):
     ARP_GROUP = "Rotation"
     ARP_SPEC = _spec(enabled=("Enabled", "b"), degree=("Degree", "f"))
@@ -918,8 +909,6 @@ class ProcParams:
     film_simulation: FilmSimulationParams = field(
         default_factory=FilmSimulationParams)
     bw: BlackWhiteParams = field(default_factory=BlackWhiteParams)
-    local_contrast: LocalContrastParams = field(
-        default_factory=LocalContrastParams)
     rotate: RotateParams = field(default_factory=RotateParams)
     distortion: DistortionParams = field(default_factory=DistortionParams)
     cacorrection: CACorrParams = field(default_factory=CACorrParams)
