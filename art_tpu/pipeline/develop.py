@@ -43,6 +43,7 @@ class PipelineConfig:
     steps: tuple = ()
     crop: tuple | None = None  # (y0, x0, h, w) in true coords
     resize_to: tuple | None = None  # (out_h, out_w)
+    prsharp: tuple | None = None  # post-resize sharpening static
     hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
     green_eq: float = 0.0
     hl_mode: str = "Off"
@@ -204,6 +205,16 @@ def plan(frame, pp):
                 data["resize_rows"] = a_r
                 data["resize_cols"] = a_c
 
+    # post-resize sharpening (prsharpening, simpleprocess.cc:402-418)
+    prsharp = None
+    if resize_to is not None and pp.pr_sharpening.enabled:
+        from art_tpu.ops import sharpen as sharpen_mod
+
+        planned = sharpen_mod.plan_pr(pp, ctx)
+        if planned is not None:
+            prsharp, pr_data = planned
+            data["op:prsharpen"] = pr_data
+
     # output transform (rgb2out fast path: matrix + TRC)
     from art_tpu.color.iccstore import get_instance
 
@@ -226,6 +237,7 @@ def plan(frame, pp):
         steps=tuple(steps),
         crop=crop,
         resize_to=resize_to,
+        prsharp=prsharp,
         hotdead=hotdead,
         green_eq=green_eq_t,
         hl_mode=hl_mode,
@@ -324,6 +336,11 @@ def _build_run(config: PipelineConfig):
             from art_tpu.ops.resize import apply_resize
 
             rgb = apply_resize(rgb, data["resize_rows"], data["resize_cols"])
+            if config.prsharp is not None:
+                from art_tpu.ops import sharpen as sharpen_mod
+
+                rgb = sharpen_mod.apply(rgb, data["op:prsharpen"],
+                                        config.prsharp)
 
         # rgb2out: working -> output primaries + TRC encode, to [0,1]
         rgb = _mat3(data["work2out"], rgb)

@@ -263,3 +263,44 @@ def test_film_simulation_cube(tmp_path):
     out = center(develop(frame, pp))
     base = center(develop(frame, ProcParams()))
     np.testing.assert_allclose(out, base, atol=0.01)
+
+
+def test_sharpening_rld_increases_acutance():
+    rng = np.random.default_rng(4)
+    rgb = np.full((3, 64, 64), 0.3)
+    rgb[:, :, 32:] = 0.7
+    import cv2
+
+    soft = np.stack([cv2.GaussianBlur(c, (0, 0), 1.2) for c in rgb])
+    frame = synthesize_bayer(soft)
+    pp = ProcParams()
+    pp.sharpening.enabled = True
+    pp.sharpening.method = "rld"
+    pp.sharpening.deconv_radius = 1.2
+    pp.sharpening.contrast = 0
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    # edge slope must steepen
+    grad_out = np.abs(np.diff(out[1, 20:44], axis=1)).max()
+    grad_base = np.abs(np.diff(base[1, 20:44], axis=1)).max()
+    assert grad_out > grad_base * 1.05
+
+
+def test_sharpening_usm():
+    rgb = np.full((3, 64, 64), 0.3)
+    rgb[:, :, 32:] = 0.7
+    import cv2
+
+    soft = np.stack([cv2.GaussianBlur(c, (0, 0), 1.2) for c in rgb])
+    frame = synthesize_bayer(soft)
+    pp = ProcParams()
+    pp.sharpening.enabled = True
+    pp.sharpening.method = "usm"
+    pp.sharpening.radius = 1.0
+    pp.sharpening.amount = 300
+    pp.sharpening.contrast = 0
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    grad_out = np.abs(np.diff(out[1, 20:44], axis=1)).max()
+    grad_base = np.abs(np.diff(base[1, 20:44], axis=1)).max()
+    assert grad_out > grad_base * 1.05
