@@ -304,3 +304,21 @@ def test_sharpening_usm():
     grad_out = np.abs(np.diff(out[1, 20:44], axis=1)).max()
     grad_base = np.abs(np.diff(base[1, 20:44], axis=1)).max()
     assert grad_out > grad_base * 1.05
+
+
+def test_fattal_compresses_dynamic_range():
+    rgb = np.full((3, 64, 64), 0.08)
+    rgb[:, 16:48, 16:48] = 0.85  # bright center
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.fattal.enabled = True
+    pp.fattal.amount = 80
+    pp.fattal.threshold = 0
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    assert np.all(np.isfinite(out))
+    # dynamic range (bright/dark ratio) must shrink
+    def ratio(img):
+        return img[:, 24:40, 24:40].mean() / max(img[:, 2:10, 2:10].mean(),
+                                                 1e-3)
+    assert ratio(out) < ratio(base)
