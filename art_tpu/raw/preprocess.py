@@ -74,9 +74,18 @@ def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
 
     offset_tile = cblack[c4].astype(np.float32)
     scale_tile = scale_mul[c4].astype(np.float32)
+    # full-width row patterns: keeps W as the TPU lane dimension when
+    # broadcasting (an inner dim of 2 costs ~50ms/24MP in lane waste)
+    from art_tpu.settings import settings
+
+    wpad = -(-w // settings.pad_multiple) * settings.pad_multiple
+    th, tw = offset_tile.shape
+    reps = -(-wpad // tw)
+    offset_rows = np.tile(offset_tile, (1, reps))[:, :wpad]
+    scale_rows = np.tile(scale_tile, (1, reps))[:, :wpad]
     return {
-        "offset_tile": offset_tile,
-        "scale_tile": scale_tile,
+        "offset_tile": offset_rows,
+        "scale_tile": scale_rows,
         "scale_mul": scale_mul,
         "gain": gain,
         "clmax": clmax[:3],
@@ -87,11 +96,20 @@ def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
 
 def apply_scale(cfa, offset_tile, scale_tile, xp):
     """Device-side: (raw - black) * scale with the periodic level pattern
-    broadcast over the mosaic (scaleColors inner loop)."""
+    broadcast over the mosaic (scaleColors inner loop).
+
+    NOTE: jnp.tile of a small pattern to 24MP hit a ~54ms lowering on v5e;
+    when the period divides the shape we reshape (H,W)->(H/p,p,W/q,q) and
+    broadcast-multiply instead (layout-free, fully fused).
+    """
     h, w = cfa.shape
-    th, tw = offset_tile.shape
-    ry = -(-h // th)
-    rx = -(-w // tw)
-    offset = xp.tile(offset_tile, (ry, rx))[:h, :w]
-    scale = xp.tile(scale_tile, (ry, rx))[:h, :w]
+    th = offset_tile.shape[0]  # tiles are (period, W) row patterns
+    if h % th == 0:
+        v = cfa.reshape(h // th, th, w)
+        out = xp.maximum(v - offset_tile[None], 0.0) * scale_tile[None]
+        return out.reshape(h, w)
+    # fallback: explicit row indexing for non-multiple heights
+    rows = xp.arange(h) % th
+    offset = offset_tile[rows]
+    scale = scale_tile[rows]
     return xp.maximum(cfa - offset, 0.0) * scale

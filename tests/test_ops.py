@@ -322,3 +322,38 @@ def test_fattal_compresses_dynamic_range():
         return img[:, 24:40, 24:40].mean() / max(img[:, 2:10, 2:10].mean(),
                                                  1e-3)
     assert ratio(out) < ratio(base)
+
+
+def test_defringe_reduces_color_fringes():
+    # gray edge with purple fringe line
+    rgb = np.full((3, 64, 64), 0.4)
+    rgb[0, :, 31:33] = 0.55
+    rgb[2, :, 31:33] = 0.55
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.defringe.enabled = True
+    pp.defringe.radius = 2.0
+    pp.defringe.threshold = 13
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    # chroma deviation at the fringe line must drop
+    def fringe_chroma(img):
+        line = img[:, 10:54, 30:34]
+        return np.abs(line[0] - line[1]).mean()
+    assert fringe_chroma(out) < fringe_chroma(base)
+
+
+def test_lab_adjustments_brightness_chromaticity():
+    frame = flat_frame([0.5, 0.35, 0.3])
+    pp = ProcParams()
+    pp.lab_curve.enabled = True
+    pp.lab_curve.brightness = 30
+    out = center(develop(frame, pp))
+    base = center(develop(frame, ProcParams()))
+    assert out.mean() > base.mean() + 0.02
+
+    pp2 = ProcParams()
+    pp2.lab_curve.enabled = True
+    pp2.lab_curve.chromaticity = 60
+    out2 = center(develop(frame, pp2))
+    assert (out2[0] - out2[1]) > (base[0] - base[1]) + 0.01
