@@ -52,23 +52,34 @@ def _med3(a, b, c):
 
 
 class _Shifter:
-    def __init__(self, x, r):
-        self.r = r
-        self.h, self.w = x.shape
-        self.p = jnp.pad(x, r, mode="reflect")
+    """shift(dy, dx) = value at (y+dy, x+dx) via jnp.roll.
+
+    Roll wraps at the borders; validity shrinks by the cumulative shift
+    amount, which stays inside the HALO margin (whole-plane path pads by
+    HALO and the Pallas path reads halo windows). Rolls compile to
+    concat-of-slices on TPU — no padded copies per stage.
+    """
+
+    def __init__(self, x, r=None):
+        self.x = x
 
     def __call__(self, dy, dx):
-        r = self.r
-        return self.p[r + dy : r + dy + self.h, r + dx : r + dx + self.w]
+        if dy == 0 and dx == 0:
+            return self.x
+        out = self.x
+        if dy != 0:
+            out = jnp.roll(out, -dy, axis=0)
+        if dx != 0:
+            out = jnp.roll(out, -dx, axis=1)
+        return out
 
 
-@register("amaze")
-def amaze_demosaic(cfa_in, pattern, init_gain=1.0, _skip_diag=False, _skip_nyq=False, **kwargs):
-    clip_pt = 1.0 / init_gain
-    clip_pt8 = 0.8 / init_gain
+HALO = 24  # cumulative stencil reach of the stage chain
 
-    x = cfa_in / 65535.0
-    mr, mg, mb = bayer_channel_masks(pattern, x.shape, xp=jnp)
+
+def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
+                _skip_diag=False, _skip_nyq=False):
+    """All AMaZE stages on a normalized window with roll shifts."""
     m_rb = ~mg
 
     s = _Shifter(x, 4)
@@ -222,19 +233,18 @@ def amaze_demosaic(cfa_in, pattern, init_gain=1.0, _skip_diag=False, _skip_nyq=F
                           + sds(1, -2) + sds(1, 2) + sds(2, -1) + sds(2, 1))
         + GAUSSGRAD[5] * (sds(-2, -2) + sds(-2, 2) + sds(2, -2) + sds(2, 2))
     )
-    nyquist = (nyqutest > 0.0) & m_rb
+    # float-valued flags: Mosaic rejects bool select chains (i1 trunc)
+    m_rbf = jnp.where(m_rb, 1.0, 0.0)
+    nyqf = jnp.where(nyqutest > 0.0, 1.0, 0.0) * m_rbf
 
-    nyqf = nyquist.astype(x.dtype)
     sny = _Shifter(nyqf, 2)
     nyqsum = (sny(-2, 0) + sny(-1, -1) + sny(-1, 1) + sny(0, -2)
               + sny(0, 2) + sny(1, -1) + sny(1, 1) + sny(2, 0))
-    nyquist2 = jnp.where(nyqsum > 4, True,
-                         jnp.where(nyqsum < 4, False, nyquist)) & m_rb
+    ny2f = jnp.where(nyqsum > 4, 1.0,
+                     jnp.where(nyqsum < 4, 0.0, nyqf)) * m_rbf
     if _skip_nyq:
-        nyquist2 = nyquist2 & False
-
-    # area interpolation inside Nyquist regions
-    ny2f = nyquist2.astype(x.dtype)
+        ny2f = ny2f * 0.0
+    nyquist2 = ny2f > 0.5
     cfah = s(0, -1) + s(0, 1)
     cfav = s(-1, 0) + s(1, 0)
     sqh = (x - s(0, -1)) ** 2 + (x - s(0, 1)) ** 2
@@ -451,12 +461,42 @@ def amaze_demosaic(cfa_in, pattern, init_gain=1.0, _skip_diag=False, _skip_nyq=F
     blue = green - dgb
 
     rgb = jnp.stack([red, green, blue]) * 65535.0
-    rgb = jnp.maximum(rgb, 0.0)
+    return jnp.maximum(rgb, 0.0)
 
-    # 16px border falls back to RCD (reference: tile halos + border interp)
+
+@register("amaze")
+def amaze_demosaic(cfa_in, pattern, init_gain=1.0, _skip_diag=False,
+                   _skip_nyq=False, use_pallas=False, **kwargs):
+    clip_pt = 1.0 / init_gain
+    clip_pt8 = 0.8 / init_gain
+    h, w = cfa_in.shape
+
+    if use_pallas and h % 128 == 0 and w % 128 == 0 and not (
+            _skip_diag or _skip_nyq):
+        try:
+            from art_tpu.demosaic.amaze_pallas import amaze_pallas
+
+            rgb = amaze_pallas(cfa_in, pattern, clip_pt, clip_pt8)
+        except Exception:
+            rgb = None
+        if rgb is not None:
+            return _with_border(cfa_in, pattern, rgb)
+
+    # whole-plane path: pad by HALO so the roll wrap never reaches the
+    # interior, compute, crop back
+    xp_ = jnp.pad(cfa_in, HALO, mode="reflect") / 65535.0
+    mr, mg, mb = bayer_channel_masks(pattern, xp_.shape, xp=jnp)
+    rgb = _amaze_core(xp_, mr, mg, mb, clip_pt, clip_pt8,
+                      _skip_diag, _skip_nyq)
+    rgb = rgb[:, HALO : HALO + h, HALO : HALO + w]
+    return _with_border(cfa_in, pattern, rgb)
+
+
+def _with_border(cfa_in, pattern, rgb):
+    """Outer ring falls back to RCD (reference border interpolation)."""
     from art_tpu.demosaic.rcd import rcd_demosaic
 
-    h, w = x.shape
+    h, w = cfa_in.shape
     ri = jnp.arange(h)[:, None]
     ci = jnp.arange(w)[None, :]
     border_mask = ((ri < BORDER) | (ri >= h - BORDER)
