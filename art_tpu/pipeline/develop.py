@@ -44,6 +44,8 @@ class PipelineConfig:
     crop: tuple | None = None  # (y0, x0, h, w) in true coords
     resize_to: tuple | None = None  # (out_h, out_w)
     prsharp: tuple | None = None  # post-resize sharpening static
+    coarse: tuple = (0, False, False)  # rotate90 k, hflip, vflip
+    transform: bool = False
     hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
     green_eq: float = 0.0
     hl_mode: str = "Off"
@@ -167,6 +169,19 @@ def plan(frame, pp):
         steps.append((name, tuple(static), stage_of.get(name, 3)))
         data[f"op:{name}"] = op_data
 
+    # coarse rotation / flips (getImage tran, rtengine coarse transform)
+    coarse = (int(pp.coarse.rotate // 90) % 4, bool(pp.coarse.hflip),
+              bool(pp.coarse.vflip))
+    if coarse[0] % 2 == 1:
+        h, w = w, h  # rot90 swaps output dims
+
+    # geometric transform (stage_transform, iptransform.cc)
+    from art_tpu.pipeline.transform import needs_transform, plan_transform
+
+    do_transform = frame.is_raw is not None and needs_transform(pp)
+    if do_transform:
+        data["transform"] = plan_transform(pp, (h, w))
+
     # crop (reference stage_finish crop copy, simpleprocess.cc:357-383)
     crop = None
     if pp.crop.enabled:
@@ -241,6 +256,8 @@ def plan(frame, pp):
         hotdead=hotdead,
         green_eq=green_eq_t,
         hl_mode=hl_mode,
+        coarse=coarse,
+        transform=do_transform,
     )
     return config, data
 
@@ -318,14 +335,28 @@ def _build_run(config: PipelineConfig):
                 mod = ops_pkg.get_op(name)
                 rgb = mod.apply(rgb, data[f"op:{name}"], static)
 
-        # crop between STAGE_0 and STAGE_1 (stage_finish crop copy); also
-        # drop the pad-to-tile margin so later stages see true pixels only
-        h0, w0 = config.orig_shape
+        # coarse rotate/flip: orig_shape is post-rotation; recover the
+        # sensor shape, drop the pad margin, then rotate/flip
+        k, hflip, vflip = config.coarse
+        h0r, w0r = config.orig_shape
+        sh, sw = (w0r, h0r) if k % 2 == 1 else (h0r, w0r)
+        rgb = rgb[:, :sh, :sw]
+        if k:
+            rgb = jnp.rot90(rgb, k=k, axes=(1, 2))
+        if hflip:
+            rgb = rgb[:, :, ::-1]
+        if vflip:
+            rgb = rgb[:, ::-1, :]
+
+        if config.transform:
+            from art_tpu.pipeline.transform import apply_transform
+
+            rgb = apply_transform(rgb, data["transform"])
+
+        # crop between STAGE_0 and STAGE_1 (stage_finish crop copy)
         if config.crop is not None:
             cy, cx, ch, cw = config.crop
             rgb = rgb[:, cy : cy + ch, cx : cx + cw]
-        else:
-            rgb = rgb[:, :h0, :w0]
 
         for name, static, stage in config.steps:
             if stage > 0:

@@ -336,11 +336,13 @@ def test_defringe_reduces_color_fringes():
     pp.defringe.threshold = 13
     out = develop(frame, pp)
     base = develop(frame, ProcParams())
-    # chroma deviation at the fringe line must drop
-    def fringe_chroma(img):
+    # chroma spread at the fringe must drop; changes stay at the fringe
+    def spread(img):
         line = img[:, 10:54, 30:34]
-        return np.abs(line[0] - line[1]).mean()
-    assert fringe_chroma(out) < fringe_chroma(base)
+        return (line.max(axis=0) - line.min(axis=0)).mean()
+    assert spread(out) < spread(base)
+    d = np.abs(out - base).max(axis=0)
+    assert d[:, :20].mean() < 1e-4
 
 
 def test_lab_adjustments_brightness_chromaticity():
@@ -357,3 +359,47 @@ def test_lab_adjustments_brightness_chromaticity():
     pp2.lab_curve.chromaticity = 60
     out2 = center(develop(frame, pp2))
     assert (out2[0] - out2[1]) > (base[0] - base[1]) + 0.01
+
+
+def test_coarse_rotation_and_flip():
+    rng = np.random.default_rng(6)
+    rgb = rng.uniform(0.1, 0.9, (3, 64, 96))
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.coarse.rotate = 90
+    out = develop(frame, pp)
+    assert out.shape == (3, 96, 64)
+    base = develop(frame, ProcParams())
+    np.testing.assert_allclose(out, np.rot90(base, k=1, axes=(1, 2)),
+                               atol=1e-4)
+    pp2 = ProcParams()
+    pp2.coarse.hflip = True
+    out2 = develop(frame, pp2)
+    np.testing.assert_allclose(out2, base[:, :, ::-1], atol=1e-4)
+
+
+def test_fine_rotation():
+    rgb = np.full((3, 64, 96), 0.2)
+    rgb[:, 30:34, :] = 0.8  # horizontal bright bar
+    frame = synthesize_bayer(rgb)
+    pp = ProcParams()
+    pp.rotate.enabled = True
+    pp.rotate.degree = 10.0
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    # the bar must have rotated: column profile varies along x now
+    bar_rows_left = np.argmax(out[1, :, 10:20].mean(axis=1))
+    bar_rows_right = np.argmax(out[1, :, 76:86].mean(axis=1))
+    assert abs(int(bar_rows_left) - int(bar_rows_right)) >= 8
+
+
+def test_distortion_runs():
+    rng = np.random.default_rng(8)
+    frame = synthesize_bayer(rng.uniform(0.1, 0.9, (3, 64, 64)))
+    pp = ProcParams()
+    pp.distortion.enabled = True
+    pp.distortion.amount = 0.2
+    out = develop(frame, pp)
+    assert np.all(np.isfinite(out))
+    base = develop(frame, ProcParams())
+    assert not np.allclose(out, base)
