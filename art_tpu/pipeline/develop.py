@@ -46,6 +46,8 @@ class PipelineConfig:
     prsharp: tuple | None = None  # post-resize sharpening static
     coarse: tuple = (0, False, False)  # rotate90 k, hflip, vflip
     transform: bool = False
+    linedn: tuple = (0.0, 3)
+    ca_mode: tuple | None = None
     hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
     green_eq: float = 0.0
     hl_mode: str = "Off"
@@ -112,6 +114,19 @@ def plan(frame, pp):
         if (frame.pattern is not None and pp.raw.bayer.green_eq_enabled
                 and pp.raw.bayer.green_eq > 0):
             green_eq_t = float(pp.raw.bayer.green_eq) / 100.0
+        linedn = 0.0
+        linedn_dir = 3
+        if (frame.pattern is not None and pp.raw.bayer.green_eq_enabled
+                and pp.raw.bayer.linenoise > 0):
+            linedn = float(pp.raw.bayer.linenoise)
+            linedn_dir = int(pp.raw.bayer.linenoise_direction)
+        ca_mode = None
+        if frame.pattern is not None and pp.raw.ca_enabled:
+            if pp.raw.ca_autocorrect:
+                ca_mode = ("auto", 0.0, 0.0)
+            elif pp.raw.ca_red != 0 or pp.raw.ca_blue != 0:
+                ca_mode = ("manual", float(pp.raw.ca_red),
+                           float(pp.raw.ca_blue))
 
         # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
         hl_mode = "Off"
@@ -135,6 +150,9 @@ def plan(frame, pp):
         hotdead = None
         green_eq_t = 0.0
         hl_mode = "Off"
+        linedn = 0.0
+        linedn_dir = 3
+        ca_mode = None
         h, w = frame.shape
         rgb_padded, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
         shape = rgb_padded.shape[1:]
@@ -258,6 +276,8 @@ def plan(frame, pp):
         hl_mode=hl_mode,
         coarse=coarse,
         transform=do_transform,
+        linedn=(linedn, linedn_dir),
+        ca_mode=ca_mode,
     )
     return config, data
 
@@ -310,6 +330,17 @@ def _build_run(config: PipelineConfig):
 
                 _, mg, _ = bayer_channel_masks(config.pattern, cfa.shape)
                 cfa = green_equilibrate(cfa, mg, config.green_eq)
+            if config.linedn[0] > 0 and config.pattern is not None:
+                from art_tpu.raw.cfa_linedn import cfa_line_denoise
+
+                cfa = cfa_line_denoise(cfa, config.linedn[0],
+                                       config.linedn[1])
+            if config.ca_mode is not None and config.pattern is not None:
+                from art_tpu.raw.ca_correct import ca_correct
+
+                mode, car, cab = config.ca_mode
+                cfa = ca_correct(cfa, config.pattern, auto=(mode == "auto"),
+                                 ca_red=car, ca_blue=cab)
             from art_tpu.demosaic import demosaic as dem
 
             rgb = dem(cfa, config.pattern, config.demosaic_method,

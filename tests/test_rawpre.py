@@ -67,3 +67,48 @@ def test_highlight_opposed_recovers_clipped():
     assert np.all(np.isfinite(out))
     # recovery must not darken unclipped area and must change the disk
     assert abs(out[:, :10, :10].mean() - base[:, :10, :10].mean()) < 0.02
+
+
+def test_cfa_line_denoise_removes_banding():
+    rng = np.random.default_rng(12)
+    rgb = np.full((3, 64, 64), 0.4)
+    frame = synthesize_bayer(rgb)
+    cfa = frame.cfa.copy()
+    # horizontal banding: per-row offsets
+    cfa += (rng.uniform(-80, 80, (64, 1))).astype(np.float32)
+    frame.cfa = np.clip(cfa, 0, 16383)
+    pp = ProcParams()
+    pp.raw.bayer.green_eq_enabled = True
+    pp.raw.bayer.linenoise = 60.0
+    pp.raw.bayer.linenoise_direction = 1
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    def row_band_energy(img):
+        return img.mean(axis=2).std()
+    assert row_band_energy(out) < row_band_energy(base) * 0.7
+
+
+def test_ca_correct_auto_reduces_fringing():
+    # radial CA: shift R outward by synthesizing scaled R
+    import cv2
+
+    h, w = 96, 96
+    rng = np.random.default_rng(13)
+    base_img = cv2.resize(rng.uniform(0.1, 0.9, (8, 8)), (w, h),
+                          interpolation=cv2.INTER_CUBIC)
+    rgb = np.stack([base_img] * 3)
+    # scale the R channel slightly about the center (lateral CA)
+    M = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), 0, 1.004)
+    rgb_ca = rgb.copy()
+    rgb_ca[0] = cv2.warpAffine(rgb[0], M, (w, h), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REPLICATE)
+    frame = synthesize_bayer(np.clip(rgb_ca, 0, 1))
+    pp = ProcParams()
+    pp.raw.ca_enabled = True
+    pp.raw.ca_autocorrect = True
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    # R-G misregistration must shrink
+    def misreg(img):
+        return np.abs(np.gradient(img[0] - img[1], axis=1)).mean()
+    assert misreg(out[:, 16:-16, 16:-16]) < misreg(base[:, 16:-16, 16:-16])
