@@ -88,6 +88,10 @@ def plan(frame, pp):
                                                 "CustomMultLegacy"):
             m = np.asarray(pp.wb.mult, dtype=np.float64)
             wb_mults = np.array([m[0] / m[1], 1.0, m[2] / m[1]])
+        elif pp.wb.enabled and pp.wb.method == "Auto":
+            from art_tpu.pipeline.autos import auto_wb_multipliers
+
+            wb_mults = auto_wb_multipliers(frame)
         else:
             wb_mults = frame.camera_wb_mults()
 
@@ -161,6 +165,22 @@ def plan(frame, pp):
             "sRGB", icc_working).astype(np.float32)
         do_clip = False
         method = "none"
+
+    # auto log encoding (getAutoLog, simpleprocess stage_init autos)
+    if frame.is_raw and pp.logenc.enabled and (pp.logenc.auto_gain
+                                               or pp.logenc.auto_gray):
+        from art_tpu.pipeline.autos import auto_log_params
+
+        try:
+            gain, black_ev, white_ev = auto_log_params(frame, pp)
+            if pp.logenc.auto_gain:
+                pp.logenc.gain = gain
+                pp.logenc.black_ev = black_ev
+                pp.logenc.white_ev = white_ev
+            pp.logenc.auto_gain = False
+            pp.logenc.auto_gray = False
+        except Exception:
+            pass
 
     # op chain with stage tags (SURVEY §2.4 execution order)
     stage_of = {}
