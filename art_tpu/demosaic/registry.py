@@ -39,3 +39,7 @@ def _populate():
         from art_tpu.demosaic import igv  # noqa: F401
     except ImportError:
         pass
+    try:
+        from art_tpu.demosaic import dual  # noqa: F401
+    except ImportError:
+        pass

@@ -51,6 +51,9 @@ class PipelineConfig:
     hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
     green_eq: float = 0.0
     hl_mode: str = "Off"
+    # method-specific demosaic kwargs (hashable tuple of pairs):
+    # dual_contrast/dual_auto for the dual methods, iterations for lmmse
+    dem_kwargs: tuple = ()
 
 
 def plan(frame, pp):
@@ -78,6 +81,17 @@ def plan(frame, pp):
         raw_expos = pp.raw.expos if pp.raw.expos_enabled else 1.0
         method = (pp.raw.bayer.method if frame.pattern is not None
                   else pp.raw.xtrans.method)
+        dem_kwargs = []
+        ml = method.lower()
+        if ml.endswith("bilinear") or ml.endswith("vng4"):
+            sensor = (pp.raw.bayer if frame.pattern is not None
+                      else pp.raw.xtrans)
+            dem_kwargs += [
+                ("dual_contrast", float(sensor.dual_demosaic_contrast)),
+                ("dual_auto", bool(sensor.dual_demosaic_auto_contrast))]
+        if ml == "lmmse":
+            dem_kwargs.append(
+                ("iterations", int(pp.raw.bayer.lmmse_iterations)))
 
         # chosen WB in ColorTemp multiplier convention (getWB / simpleprocess
         # stage_init) — camera WB is the identity in this convention.
@@ -165,6 +179,7 @@ def plan(frame, pp):
             "sRGB", icc_working).astype(np.float32)
         do_clip = False
         method = "none"
+        dem_kwargs = []
 
     # auto log encoding (getAutoLog, simpleprocess stage_init autos)
     if frame.is_raw and pp.logenc.enabled and (pp.logenc.auto_gain
@@ -294,6 +309,7 @@ def plan(frame, pp):
         hotdead=hotdead,
         green_eq=green_eq_t,
         hl_mode=hl_mode,
+        dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
         coarse=coarse,
         transform=do_transform,
         linedn=(linedn, linedn_dir),
@@ -364,7 +380,8 @@ def _build_run(config: PipelineConfig):
             from art_tpu.demosaic import demosaic as dem
 
             rgb = dem(cfa, config.pattern, config.demosaic_method,
-                      xtrans=config.xtrans, init_gain=data["init_gain"])
+                      xtrans=config.xtrans, init_gain=data["init_gain"],
+                      **dict(config.dem_kwargs))
             if config.hl_mode == "opposed":
                 from art_tpu.raw.hilite import recover_opposed
 

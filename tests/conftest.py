@@ -19,9 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: the op/demosaic tests recompile many configs
-jax.config.update("jax_compilation_cache_dir", "/tmp/art_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: no persistent compile cache here — the zstandard-compressed cache
+# write segfaults on large executables with this jaxlib (observed in
+# put_executable_and_time via zstandard.backend_c)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -145,3 +145,59 @@ def test_xtrans_gradient():
     expected = cs.srgb_gamma(ramp)
     err = np.abs(out - expected)[:, 12:-12, 12:-12]
     assert err.mean() < 0.01
+
+
+@pytest.mark.parametrize("method", ["vng4", "lmmse"])
+@pytest.mark.parametrize("pattern", ["RGGB", "BGGR", "GRBG", "GBRG"])
+def test_vng4_lmmse_reconstruct_smooth(method, pattern):
+    rgb = smooth_image()
+    cfa = mosaic_of(rgb, pattern)
+    out = np.asarray(demosaic(cfa, pattern, method))
+    err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
+    assert err.mean() < 0.004, (method, err.mean())
+    assert err.max() < 0.06, (method, err.max())
+
+
+@pytest.mark.parametrize("method", ["vng4", "lmmse"])
+def test_vng4_lmmse_preserve_cfa(method):
+    rgb = smooth_image(seed=3)
+    cfa = mosaic_of(rgb, "RGGB")
+    out = np.asarray(demosaic(cfa, "RGGB", method))
+    cidx = bayer_color_index("RGGB", cfa.shape)
+    got = np.take_along_axis(out.reshape(3, -1), cidx.reshape(1, -1),
+                             axis=0).reshape(cfa.shape)
+    assert np.allclose(got[8:-8, 8:-8], cfa[8:-8, 8:-8], atol=2.0)
+
+
+def test_dual_demosaic_blends():
+    # flat noisy region + sharp edge: dual should track amaze at the edge
+    # and smooth toward bilinear in the flat area
+    rng = np.random.default_rng(0)
+    rgb = np.full((3, 128, 128), 0.4 * 65535.0)
+    rgb[:, :, 64:] = 0.7 * 65535.0
+    rgb += rng.normal(0, 300.0, size=rgb.shape)
+    rgb = np.clip(rgb, 0, 65535)
+    cfa = mosaic_of(rgb, "RGGB")
+    out_dual = np.asarray(demosaic(cfa, "RGGB", "amazebilinear",
+                                   dual_contrast=20.0, dual_auto=False))
+    out_amaze = np.asarray(demosaic(cfa, "RGGB", "amaze"))
+    out_bil = np.asarray(demosaic(cfa, "RGGB", "bilinear"))
+    # near the edge: dual ~ amaze
+    edge = np.s_[:, 30:98, 62:66]
+    d_edge_amz = np.abs(out_dual[edge] - out_amaze[edge]).mean()
+    d_edge_bil = np.abs(out_dual[edge] - out_bil[edge]).mean()
+    # flat interior: dual ~ bilinear (low contrast -> flat demosaicer)
+    flat = np.s_[:, 30:98, 16:48]
+    d_flat_bil = np.abs(out_dual[flat] - out_bil[flat]).mean()
+    d_flat_amz = np.abs(out_dual[flat] - out_amaze[flat]).mean()
+    assert d_edge_amz < d_edge_bil, (d_edge_amz, d_edge_bil)
+    assert d_flat_bil < d_flat_amz, (d_flat_bil, d_flat_amz)
+
+
+def test_dual_contrast_zero_is_sharp_only():
+    rgb = smooth_image(seed=5)
+    cfa = mosaic_of(rgb, "RGGB")
+    a = np.asarray(demosaic(cfa, "RGGB", "rcdbilinear",
+                            dual_contrast=0.0, dual_auto=False))
+    b = np.asarray(demosaic(cfa, "RGGB", "rcd"))
+    assert np.array_equal(a, b)
