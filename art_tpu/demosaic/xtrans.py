@@ -4,8 +4,19 @@
 green normalization depending on solitary/paired green sites — whole-plane
 with host-precomputed 6x6 site-type masks.
 
-The Markesteijn 1/3-pass methods currently route here (quality parity work
-tracked for a later round); dispatch accepts all reference method strings.
+`xtrans_directional` fills the Markesteijn 1/2/3/4-pass slots
+(xtrans_interpolate:180): directional green interpolation fused by local
+gradient energy, then chroma by normalized convolution of the color
+differences, with median-refinement passes for the multi-pass modes.
+
+TPU formulation (documented deviation): instead of the reference's
+per-site hex offset tables and homogeneity voting, we exploit the X-Trans
+row/column invariant — every non-green site either has green on both
+cardinal sides, or green at distance 1 on one side and distance 2 on the
+other — giving four whole-plane candidate stencils selected by
+host-precomputed 6x6 layout masks. Direction fusion uses smoothed
+second-derivative energies (the RCD-style discriminator), which maps to
+dense VPU arithmetic instead of data-dependent table walks.
 """
 
 from __future__ import annotations
@@ -64,8 +75,129 @@ def fast_xtrans(cfa, xtrans_pattern):
     return jnp.stack([r, g, b])
 
 
+def _tiled_mask(pat66, shape, pred):
+    """Tile a 6x6 predicate over (h, w) -> np bool array."""
+    h, w = shape
+    m66 = pred(pat66)
+    return np.asarray(m66)[np.arange(h)[:, None] % 6,
+                           np.arange(w)[None, :] % 6]
+
+
+def _box3(x):
+    p = jnp.pad(x, 1, mode="edge")
+    h, w = x.shape
+    acc = jnp.zeros_like(x)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            acc = acc + p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+    return acc * (1.0 / 9.0)
+
+
+def _med3x3(x):
+    p = jnp.pad(x, 1, mode="edge")
+    h, w = x.shape
+    planes = [p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+              for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    return jnp.median(jnp.stack(planes), axis=0)
+
+
+def xtrans_directional(cfa, xtrans_pattern, passes=1):
+    """Directional X-Trans demosaic for the Markesteijn-quality slots."""
+    h, w = cfa.shape
+    pat = np.asarray(xtrans_pattern, dtype=np.int64).reshape(6, 6)
+    cidx = xtrans_color_index(xtrans_pattern, (h, w))
+    mr = jnp.asarray(cidx == 0)
+    mg = jnp.asarray(cidx == 1)
+    mb = jnp.asarray(cidx == 2)
+
+    def green_at(dy, dx):
+        return _tiled_mask(pat, (h, w),
+                           lambda p: np.roll(np.roll(p, -dy, 0), -dx, 1) == 1)
+
+    gl = jnp.asarray(green_at(0, -1))
+    gr = jnp.asarray(green_at(0, 1))
+    gu = jnp.asarray(green_at(-1, 0))
+    gd = jnp.asarray(green_at(1, 0))
+
+    x = cfa
+    r = 3
+    p = jnp.pad(x, r, mode="reflect")
+
+    def sh(dy, dx):
+        return p[r + dy : r + dy + h, r + dx : r + dx + w]
+
+    third = 1.0 / 3.0
+    # X-Trans row invariant: both near greens, or near@1 + far@2
+    g_h = jnp.where(gl & gr, 0.5 * (sh(0, -1) + sh(0, 1)),
+                    jnp.where(gl, (2.0 * sh(0, -1) + sh(0, 2)) * third,
+                              (2.0 * sh(0, 1) + sh(0, -2)) * third))
+    g_v = jnp.where(gu & gd, 0.5 * (sh(-1, 0) + sh(1, 0)),
+                    jnp.where(gu, (2.0 * sh(-1, 0) + sh(2, 0)) * third,
+                              (2.0 * sh(1, 0) + sh(-2, 0)) * third))
+
+    # direction energies: first+second derivative magnitude, smoothed
+    e_h = ((sh(0, -1) - sh(0, 1)) ** 2
+           + (2.0 * x - sh(0, -2) - sh(0, 2)) ** 2)
+    e_v = ((sh(-1, 0) - sh(1, 0)) ** 2
+           + (2.0 * x - sh(-2, 0) - sh(2, 0)) ** 2)
+    e_h = _box3(e_h)
+    e_v = _box3(e_v)
+    w_h = e_v / jnp.maximum(e_h + e_v, 1e-6)
+    g = jnp.where(mg, x, w_h * g_h + (1.0 - w_h) * g_v)
+
+    # chroma: normalized convolution of the color differences with a
+    # 5x5 tent kernel (X-Trans guarantees >=2 sites of each color in 5x5)
+    k1d = np.array([1.0, 2.0, 3.0, 2.0, 1.0])
+    ker = np.outer(k1d, k1d)
+
+    def _chan(mc):
+        d = jnp.where(mc, x - g, 0.0)
+        mcf = mc.astype(x.dtype)
+        pd = jnp.pad(d, 2, mode="reflect")
+        pm = jnp.pad(mcf, 2, mode="reflect")
+        num = jnp.zeros_like(x)
+        den = jnp.zeros_like(x)
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                wgt = ker[dy + 2, dx + 2]
+                num = num + wgt * pd[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
+                den = den + wgt * pm[2 + dy : 2 + dy + h, 2 + dx : 2 + dx + w]
+        return jnp.where(mc, x, g + num / jnp.maximum(den, 1e-6))
+
+    red = _chan(mr)
+    blue = _chan(mb)
+
+    for _ in range(max(int(passes) - 1, 0)):
+        m_rg = _med3x3(red - g)
+        m_bg = _med3x3(blue - g)
+        red = jnp.where(mr, x, g + m_rg)
+        blue = jnp.where(mb, x, g + m_bg)
+        g = jnp.where(mg, x, 0.5 * ((red - m_rg) + (blue - m_bg)))
+
+    return jnp.stack([red, g, blue])
+
+
 def demosaic_xtrans(cfa, xtrans_pattern, method="3-pass (best)", **kwargs):
     m = method.lower()
     if m in ("mono", "none"):
         return jnp.stack([cfa, cfa, cfa])
-    return fast_xtrans(cfa, xtrans_pattern)
+    if m.startswith("fast"):
+        return fast_xtrans(cfa, xtrans_pattern)
+    passes = 3
+    if m.startswith("1-pass"):
+        passes = 1
+    elif m.startswith("2-pass"):
+        passes = 2
+    elif m.startswith("4-pass"):
+        passes = 4
+    out = xtrans_directional(cfa, xtrans_pattern, passes=passes)
+    if m.startswith("4-pass"):
+        # reference 4-pass = 3-pass + contrast blend against fast
+        # (dual_demosaic_RT.cc fast_xtrans_interpolate_blend)
+        dc = kwargs.get("dual_contrast", 0.0)
+        da = kwargs.get("dual_auto", False)
+        if da or dc > 0.0:
+            from art_tpu.demosaic.dual import dual_blend
+
+            out = dual_blend(out, fast_xtrans(cfa, xtrans_pattern), dc, da)
+    return out

@@ -83,7 +83,8 @@ def plan(frame, pp):
                   else pp.raw.xtrans.method)
         dem_kwargs = []
         ml = method.lower()
-        if ml.endswith("bilinear") or ml.endswith("vng4"):
+        if (ml.endswith("bilinear") or ml.endswith("vng4")
+                or ml.startswith("4-pass")):
             sensor = (pp.raw.bayer if frame.pattern is not None
                       else pp.raw.xtrans)
             dem_kwargs += [

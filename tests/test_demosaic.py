@@ -201,3 +201,43 @@ def test_dual_contrast_zero_is_sharp_only():
                             dual_contrast=0.0, dual_auto=False))
     b = np.asarray(demosaic(cfa, "RGGB", "rcd"))
     assert np.array_equal(a, b)
+
+
+def _xtrans_mosaic(rgb):
+    from art_tpu.io.rawfile import XTRANS_CANONICAL
+    pat = np.asarray(XTRANS_CANONICAL, dtype=np.int64).reshape(6, 6)
+    c, h, w = rgb.shape
+    cidx = pat[np.arange(h)[:, None] % 6, np.arange(w)[None, :] % 6]
+    return np.take_along_axis(rgb.reshape(3, -1), cidx.reshape(1, -1),
+                              axis=0).reshape(h, w), XTRANS_CANONICAL
+
+
+@pytest.mark.parametrize("method", ["1-pass (medium)", "3-pass (best)"])
+def test_markesteijn_smooth(method):
+    rgb = smooth_image(h=96, w=120)
+    cfa, pat = _xtrans_mosaic(rgb)
+    out = np.asarray(demosaic(cfa, None, method, xtrans=pat))
+    err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
+    assert err.mean() < 0.004, (method, err.mean())
+    assert err.max() < 0.08, (method, err.max())
+
+
+def test_markesteijn_beats_fast_on_edges():
+    rgb = edge_image(h=96, w=120)
+    cfa, pat = _xtrans_mosaic(rgb)
+    out_m = np.asarray(demosaic(cfa, None, "3-pass (best)", xtrans=pat))
+    out_f = np.asarray(demosaic(cfa, None, "fast", xtrans=pat))
+    e_m = np.abs(out_m - rgb)[:, 12:-12, 12:-12].mean()
+    e_f = np.abs(out_f - rgb)[:, 12:-12, 12:-12].mean()
+    assert e_m < e_f, (e_m, e_f)
+
+
+def test_markesteijn_preserves_cfa():
+    rgb = smooth_image(h=96, w=120, seed=2)
+    cfa, pat = _xtrans_mosaic(rgb)
+    out = np.asarray(demosaic(cfa, None, "1-pass (medium)", xtrans=pat))
+    patm = np.asarray(pat, dtype=np.int64).reshape(6, 6)
+    cidx = patm[np.arange(96)[:, None] % 6, np.arange(120)[None, :] % 6]
+    got = np.take_along_axis(out.reshape(3, -1), cidx.reshape(1, -1),
+                             axis=0).reshape(cfa.shape)
+    assert np.allclose(got[8:-8, 8:-8], cfa[8:-8, 8:-8], atol=2.0)
