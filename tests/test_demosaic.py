@@ -241,3 +241,23 @@ def test_markesteijn_preserves_cfa():
     got = np.take_along_axis(out.reshape(3, -1), cidx.reshape(1, -1),
                              axis=0).reshape(cfa.shape)
     assert np.allclose(got[8:-8, 8:-8], cfa[8:-8, 8:-8], atol=2.0)
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "GRBG"])
+def test_igv_reconstructs_smooth(pattern):
+    rgb = smooth_image()
+    cfa = mosaic_of(rgb, pattern)
+    out = np.asarray(demosaic(cfa, pattern, "igv"))
+    err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
+    assert err.mean() < 0.006, err.mean()
+    assert err.max() < 0.09, err.max()
+
+
+def test_igv_preserves_cfa():
+    rgb = smooth_image(seed=4)
+    cfa = mosaic_of(rgb, "RGGB")
+    out = np.asarray(demosaic(cfa, "RGGB", "igv"))
+    cidx = bayer_color_index("RGGB", cfa.shape)
+    got = np.take_along_axis(out.reshape(3, -1), cidx.reshape(1, -1),
+                             axis=0).reshape(cfa.shape)
+    assert np.allclose(got[8:-8, 8:-8], cfa[8:-8, 8:-8], atol=2.0)
