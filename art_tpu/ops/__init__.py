@@ -20,7 +20,9 @@ import importlib
 
 # reference stage grouping (improcfun.cc:575-639); pre-stage raw/denoise ops
 # are handled by the pipeline driver itself.
-STAGE_0 = ("denoise", "dehaze", "fattal")  # denoise = pre-stage (stage_denoise)
+# spot clone + film negative run first (simpleprocess.cc:283,307), then
+# denoise = pre-stage (stage_denoise)
+STAGE_0 = ("spot", "filmneg", "denoise", "dehaze", "fattal")
 STAGE_1 = ("chmixer", "exposure", "hsl", "toneequalizer")
 STAGE_2 = ("sharpen", "impulse", "defringe", "colorcorrection", "smoothing")
 STAGE_3 = (

@@ -854,6 +854,54 @@ class FilmNegativeParams(ParamGroup):
 
 
 @dataclass
+class SpotEntry:
+    """One clone-stamp spot (procparams.h SpotEntry:1144)."""
+
+    source_x: float = 0.0
+    source_y: float = 0.0
+    target_x: float = 0.0
+    target_y: float = 0.0
+    radius: int = 25
+    feather: float = 1.0
+    opacity: float = 1.0
+    detail: int = 2
+
+
+@dataclass
+class SpotParams(ParamGroup):
+    """Spot removal (group "Spot Removal", dynamic Spot<N> keys)."""
+
+    ARP_GROUP = "Spot Removal"
+    ARP_SPEC = _spec(enabled=("Enabled", "b"))
+    enabled: bool = False
+    entries: list = field(default_factory=list)
+
+    def to_keyfile(self, kf: KeyFile):
+        super().to_keyfile(kf)
+        for i, e in enumerate(self.entries):
+            kf.set(self.ARP_GROUP, f"Spot{i + 1}",
+                   [e.source_x, e.source_y, e.target_x, e.target_y,
+                    float(e.radius), e.feather, e.opacity, float(e.detail)])
+
+    def update_from_keyfile(self, kf: KeyFile):
+        if not super().update_from_keyfile(kf):
+            return False
+        i = 1
+        entries = []
+        while kf.has(self.ARP_GROUP, f"Spot{i}"):
+            v = kf.get_double_list(self.ARP_GROUP, f"Spot{i}")
+            if len(v) >= 7:
+                entries.append(SpotEntry(
+                    source_x=v[0], source_y=v[1], target_x=v[2],
+                    target_y=v[3], radius=int(v[4]), feather=v[5],
+                    opacity=v[6], detail=int(v[7]) if len(v) > 7 else 2))
+            i += 1
+        if entries or kf.has(self.ARP_GROUP, "Spot1"):
+            self.entries = entries
+        return True
+
+
+@dataclass
 class MetaDataParams(ParamGroup):
     ARP_GROUP = "MetaData"
     ARP_SPEC = _spec(mode=("Mode", "i"), exif_keys=("ExifKeys", "s"))
@@ -917,6 +965,7 @@ class ProcParams:
     pcvignette: PCVignetteParams = field(default_factory=PCVignetteParams)
     perspective: PerspectiveParams = field(default_factory=PerspectiveParams)
     lens_prof: LensProfParams = field(default_factory=LensProfParams)
+    spot: SpotParams = field(default_factory=SpotParams)
     film_negative: FilmNegativeParams = field(
         default_factory=FilmNegativeParams)
     metadata: MetaDataParams = field(default_factory=MetaDataParams)
