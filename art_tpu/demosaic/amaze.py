@@ -80,8 +80,18 @@ HALO = 24  # cumulative stencil reach of the stage chain
 def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
                 _skip_diag=False, _skip_nyq=False):
     """All AMaZE stages on a normalized window with roll shifts."""
-    m_rb = ~mg
+    vcd, hcd, hvwt = _stages_1to4(x, mg, clip_pt, clip_pt8)
+    green, hvwt = _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=_skip_nyq)
+    return _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt,
+                        _skip_diag=_skip_diag)
 
+
+def _stages_1to4(x, mg, clip_pt, clip_pt8):
+    """Stages 1-4: directional cd estimates + hvwt discrimination.
+
+    Stencil reach ~9; returns (vcd, hcd, hvwt). This is the first Pallas
+    stage kernel — the cross-kernel state is just these three planes.
+    """
     s = _Shifter(x, 4)
 
     # ---- stage 1: gradients -------------------------------------------------
@@ -179,8 +189,6 @@ def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
     vcd = jnp.where(mg, _bound_g_site(vcd, s(-1, 0), s(1, 0)),
                     _bound_rb_site(vcd, s(-1, 0), s(1, 0)))
 
-    cddiffsq = (vcd - hcd) ** 2  # used at R/B sites
-
     # ---- stage 4: directional discrimination hvwt (R/B sites) ---------------
     svc = _Shifter(vcd, 3)
     shc = _Shifter(hcd, 3)
@@ -215,6 +223,21 @@ def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
     agree = ((0.5 - varwt) * (0.5 - diffwt) > 0) & (
         jnp.abs(0.5 - diffwt) < jnp.abs(0.5 - varwt))
     hvwt = jnp.where(agree, varwt, diffwt)
+    return vcd, hcd, hvwt
+
+
+def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False):
+    """Stages 5-6: Nyquist texture handling + G at R/B sites.
+
+    Stencil reach ~10 (area stats out to +-6 over the nyquist flags);
+    returns (green, hvwt) with the stage-6 hvwt smoothing applied.
+    """
+    m_rb = ~mg
+    s = _Shifter(x, 4)
+    delh = jnp.abs(s(0, 1) - s(0, -1))
+    delv = jnp.abs(s(1, 0) - s(-1, 0))
+    delhvsqsum = delh * delh + delv * delv
+    cddiffsq = (vcd - hcd) ** 2
 
     # ---- stage 5: Nyquist test ----------------------------------------------
     scd = _Shifter(cddiffsq, 2)
@@ -306,6 +329,25 @@ def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
     dgrb0 = jnp.where(nyquist2,
                       (hcd * gvarv + vcd * gvarh) / (gvarv + gvarh), dgrb0)
     green = jnp.where(m_rb, x + dgrb0, green)
+    return green, hvwt
+
+
+def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
+    """Stages 7-8: diagonal R/B interpolation + chrominance.
+
+    dgrb0 is recovered as green - x (exact at R/B sites); dirwts are
+    recomputed from x (cheaper than carrying them across kernels).
+    Stencil reach ~11; returns the (3, H, W) RGB stack in 0..65535.
+    """
+    m_rb = ~mg
+    s = _Shifter(x, 4)
+    delh = jnp.abs(s(0, 1) - s(0, -1))
+    delv = jnp.abs(s(1, 0) - s(-1, 0))
+    dirwts0 = EPS + jnp.abs(s(2, 0) - x) + jnp.abs(x - s(-2, 0)) + delv
+    dirwts1 = EPS + jnp.abs(s(0, 2) - x) + jnp.abs(x - s(0, -2)) + delh
+    sd0 = _Shifter(dirwts0, 2)
+    sd1 = _Shifter(dirwts1, 2)
+    dgrb0 = green - x
 
     # ---- stage 7: diagonal R/B interpolation --------------------------------
     # delp/delm at R/B sites; Dgrbsq1p/m at G sites (natural-site planes)
@@ -466,19 +508,18 @@ def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
 
 @register("amaze")
 def amaze_demosaic(cfa_in, pattern, init_gain=1.0, _skip_diag=False,
-                   _skip_nyq=False, use_pallas=False, **kwargs):
+                   _skip_nyq=False, use_pallas=True, **kwargs):
     clip_pt = 1.0 / init_gain
     clip_pt8 = 0.8 / init_gain
     h, w = cfa_in.shape
 
-    if use_pallas and h % 128 == 0 and w % 128 == 0 and not (
-            _skip_diag or _skip_nyq):
-        try:
-            from art_tpu.demosaic.amaze_pallas import amaze_pallas
+    # the 3-stage Pallas kernel chain is ~2.6x the whole-plane XLA path on
+    # TPU (69ms vs 182ms at 24MP) and avoids its ~9GB of materialized roll
+    # planes; the XLA path remains for small images and the _skip_* tests
+    if use_pallas and not (_skip_diag or _skip_nyq):
+        from art_tpu.demosaic.amaze_pallas import amaze_pallas
 
-            rgb = amaze_pallas(cfa_in, pattern, clip_pt, clip_pt8)
-        except Exception:
-            rgb = None
+        rgb = amaze_pallas(cfa_in, pattern, clip_pt, clip_pt8)
         if rgb is not None:
             return _with_border(cfa_in, pattern, rgb)
 
@@ -493,7 +534,45 @@ def amaze_demosaic(cfa_in, pattern, init_gain=1.0, _skip_diag=False,
 
 
 def _with_border(cfa_in, pattern, rgb):
-    """Outer ring falls back to RCD (reference border interpolation)."""
+    """Outer ring falls back to bilinear (reference border interpolation
+    is also a simple average fill, amaze_demosaic_RT.cc border block).
+
+    Computed on four thin strips (BORDER + 4 px of context), not the whole
+    plane — the whole-plane XLA fallback costs ~30 materialized planes.
+    """
+    from art_tpu.demosaic.bilinear import bayer_bilinear
+
+    h, w = cfa_in.shape
+    m = BORDER + 4  # strip width incl. interpolation context
+    strips = {
+        "top": (slice(0, m), slice(0, w)),
+        "bottom": (slice(h - m, h), slice(0, w)),
+        "left": (slice(0, h), slice(0, m)),
+        "right": (slice(0, h), slice(w - m, w)),
+    }
+    # strip origins must be even for Bayer parity; odd-sized images take
+    # the whole-plane select instead
+    if h % 2 or w % 2:
+        fallback = bayer_bilinear(cfa_in, pattern)
+        ri = jnp.arange(h)[:, None]
+        ci = jnp.arange(w)[None, :]
+        ring = ((ri < BORDER) | (ri >= h - BORDER)
+                | (ci < BORDER) | (ci >= w - BORDER))
+        return jnp.where(ring[None], fallback, rgb)
+    out = rgb
+    fb_top = bayer_bilinear(cfa_in[strips["top"]], pattern)
+    fb_bot = bayer_bilinear(cfa_in[strips["bottom"]], pattern)
+    fb_l = bayer_bilinear(cfa_in[strips["left"]], pattern)
+    fb_r = bayer_bilinear(cfa_in[strips["right"]], pattern)
+    out = out.at[:, :BORDER, :].set(fb_top[:, :BORDER, :])
+    out = out.at[:, h - BORDER :, :].set(fb_bot[:, m - BORDER :, :])
+    out = out.at[:, :, :BORDER].set(fb_l[:, :, :BORDER])
+    out = out.at[:, :, w - BORDER :].set(fb_r[:, :, m - BORDER :])
+    return out
+
+
+def _with_border_rcd(cfa_in, pattern, rgb):
+    """Whole-plane RCD ring (kept for reference/testing)."""
     from art_tpu.demosaic.rcd import rcd_demosaic
 
     h, w = cfa_in.shape
