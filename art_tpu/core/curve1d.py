@@ -1,16 +1,19 @@
-"""Fast device-side 1-D curves: 64-segment piecewise cubic, sqrt-warped.
+"""Fast device-side 1-D curves: Chebyshev series or 64-segment cubics.
 
 The reference applies tone curves through 65536-entry LUT gathers
 (``LUT.h``). On TPU, gathers from tables >~64 entries hit the slow gather
-path (~200 ms per 24MP plane measured on v5e), while <=64-entry tables
-lower to fast vector selects (~6 ms) — so the planner refits every curve
-into 64 cubic segments, uniform in sqrt(x) to concentrate resolution in
-the shadows. Evaluation is 4 small-table takes + a Horner step, fully
-fused by XLA.
+path (~200 ms per 24MP plane measured on v5e); even 64-entry takes cost
+~7 ms per 24MP plane. So the planner refits every curve on the host:
 
-Accuracy: for smooth tone curves the max refit error is <1e-5 of full
-scale (tested against the dense LUT); 64 sqrt-warped segments give ~4000
-effective segments near black.
+1. preferred: a single Chebyshev series (degree <=31) on the sqrt-warped
+   domain, evaluated with Clenshaw recurrence -- pure VPU FMAs, no gather
+   at all (~1-2 ms per 24MP plane);
+2. fallback for kinky curves (hard clips, posterize): 64 cubic segments
+   uniform in sqrt(x), evaluated with 4 small-table takes + Horner.
+
+`eval_curve` dispatches on the representation's rank: (D,) = Chebyshev,
+(K, 4) = segments. The sqrt warp concentrates resolution in the shadows
+for both forms.
 """
 
 from __future__ import annotations
@@ -21,15 +24,16 @@ import numpy as np
 from art_tpu.core.image import MAXVAL
 
 K = 64  # segments
+CHEB_TOL = 2e-4  # max refit error (of full scale) to accept a series fit
 
 
-def fit_curve(dense_lut, in_max=1.0):
-    """Fit a (N,) dense curve (sampled uniformly on [0, in_max]) into
-    (K, 4) cubic coefficients over the sqrt-warped domain.
+def fit_curve(dense_lut, in_max=1.0, allow_poly=True):
+    """Fit a (N,) dense curve (sampled uniformly on [0, in_max]).
 
-    Returns float32 (K, 4) with coefficients [a, b, c, d] such that for
-    warped coordinate t in segment k with local u = t*K - k:
-    y = ((a*u + b)*u + c)*u + d.
+    Preferred representation: Chebyshev coefficients (D,) over the
+    sqrt-warped domain, if a degree-<=31 series meets CHEB_TOL.
+    Fallback: (K, 4) cubic segment coefficients [a, b, c, d] with
+    y = ((a*u + b)*u + c)*u + d for local u = t*K - k.
     """
     dense_lut = np.asarray(dense_lut, dtype=np.float64)
     n = dense_lut.shape[0]
@@ -41,6 +45,16 @@ def fit_curve(dense_lut, in_max=1.0):
         i1 = np.minimum(i0 + 1, n - 1)
         fr = idx - i0
         return dense_lut[i0] * (1 - fr) + dense_lut[i1] * fr
+
+    if allow_poly:
+        t = np.linspace(0.0, 1.0, 4097)
+        y = curve_at(t * t)
+        for deg in (15, 23, 31):
+            c = np.polynomial.chebyshev.chebfit(2.0 * t - 1.0, y, deg)
+            err = np.abs(np.polynomial.chebyshev.chebval(2.0 * t - 1.0, c)
+                         - y).max()
+            if err < CHEB_TOL:
+                return c.astype(np.float32)
 
     # 4 Chebyshev-like nodes per segment (interpolatory cubic)
     u_nodes = np.array([0.0, 1.0 / 3.0, 2.0 / 3.0, 1.0])
@@ -68,6 +82,18 @@ def eval_curve(x, coeffs, in_max=MAXVAL, out_max=MAXVAL):
     (measured on v5e: 723 ms vs 10 ms for the same 72M elements), so the
     takes run on a 2-D view.
     """
+    if coeffs.ndim == 1:
+        # Chebyshev series on the warped domain: Clenshaw recurrence
+        t = 2.0 * jnp.sqrt(jnp.clip(x / in_max, 0.0, 1.0)) - 1.0
+        t2 = 2.0 * t
+        b1 = jnp.zeros_like(t)
+        b2 = jnp.zeros_like(t)
+        d = coeffs.shape[0]
+        for kk in range(d - 1, 0, -1):
+            b1, b2 = coeffs[kk] + t2 * b1 - b2, b1
+        y = coeffs[0] + t * b1 - b2
+        return y * out_max
+
     shape = x.shape
     if x.ndim != 2:
         x = x.reshape(-1, shape[-1])
@@ -82,3 +108,20 @@ def eval_curve(x, coeffs, in_max=MAXVAL, out_max=MAXVAL):
     y = ((a * u + b) * u + c) * u + d
     y = y * out_max
     return y.reshape(shape)
+
+
+def fit_curves(dense_luts, in_max=1.0):
+    """Fit several curves into ONE stackable representation.
+
+    Chebyshev fits of different degree zero-pad exactly; if any curve
+    needs the segment fallback, all are refit as segments so the stack
+    is homogeneous (callers jnp.stack these and index by channel).
+    """
+    fits = [fit_curve(np.asarray(lut), in_max) for lut in dense_luts]
+    if all(f.ndim == 1 for f in fits):
+        d = max(f.shape[0] for f in fits)
+        return np.stack([np.pad(f, (0, d - f.shape[0])) for f in fits])
+    return np.stack([f if f.ndim == 2
+                     else fit_curve(np.asarray(lut), in_max,
+                                    allow_poly=False)
+                     for f, lut in zip(fits, dense_luts)])

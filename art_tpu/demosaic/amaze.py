@@ -272,26 +272,25 @@ def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False):
     cfav = s(-1, 0) + s(1, 0)
     sqh = (x - s(0, -1)) ** 2 + (x - s(0, 1)) ** 2
     sqv = (x - s(-1, 0)) ** 2 + (x - s(1, 0)) ** 2
-    sn = _Shifter(ny2f, 6)
-    sc_ = _Shifter(x * ny2f, 6)
-    sh_ = _Shifter(cfah * ny2f, 6)
-    sv_ = _Shifter(cfav * ny2f, 6)
-    ssh = _Shifter(sqh * ny2f, 6)
-    ssv = _Shifter(sqv * ny2f, 6)
-    sumcfa = 0.0
-    sumh = 0.0
-    sumv = 0.0
-    sumsqh = 0.0
-    sumsqv = 0.0
-    areawt = 0.0
-    for i in range(-6, 7, 2):
-        for j in range(-6, 7, 2):
-            sumcfa = sumcfa + sc_(i, j)
-            sumh = sumh + sh_(i, j)
-            sumv = sumv + sv_(i, j)
-            sumsqh = sumsqh + ssh(i, j)
-            sumsqv = sumsqv + ssv(i, j)
-            areawt = areawt + sn(i, j)
+    # 7x7 quincunx box sums, separable: rows (step 2) then cols (step 2)
+    # — 14 shifts per plane instead of 49
+    def _area_sum(a):
+        sa = _Shifter(a, 6)
+        rows = a
+        for i in (-6, -4, -2, 2, 4, 6):
+            rows = rows + sa(i, 0)
+        sr = _Shifter(rows, 6)
+        out = rows
+        for j in (-6, -4, -2, 2, 4, 6):
+            out = out + sr(0, j)
+        return out
+
+    sumcfa = _area_sum(x * ny2f)
+    sumh = _area_sum(cfah * ny2f)
+    sumv = _area_sum(cfav * ny2f)
+    sumsqh = _area_sum(sqh * ny2f)
+    sumsqv = _area_sum(sqv * ny2f)
+    areawt = _area_sum(ny2f)
     sumh = sumcfa - 0.5 * sumh
     sumv = sumcfa - 0.5 * sumv
     areawt = 0.5 * areawt

@@ -12,7 +12,7 @@ import numpy as np
 
 from art_tpu.color import colorspaces as cs
 from art_tpu.color.curves import DiagonalCurve, FlatCurve
-from art_tpu.core.curve1d import eval_curve, fit_curve
+from art_tpu.core.curve1d import eval_curve, fit_curve, fit_curves
 from art_tpu.core.image import MAXVAL
 
 # color filter presets: equivalent RGB weights multipliers
@@ -60,7 +60,7 @@ def plan(pp, ctx):
     gcoeffs = None
     if has_gamma:
         x = np.linspace(0.0, 1.0, 65536)
-        gcoeffs = np.stack([fit_curve(np.power(x, g)) for g in gammas])
+        gcoeffs = fit_curves([np.power(x, g) for g in gammas])
 
     # color cast (ipbw.cc:318-365)
     cast = list(bwp.color_cast) + [0, 0]

@@ -66,8 +66,18 @@ def plan(pp, ctx):
 
 
 def _wavelet_denoise_plane(x, strength, detail_blend=0.0):
+    from art_tpu.ops.wavelet import _sep_blur, _B3
+    from art_tpu.ops.wavelet_pallas import wavelet_denoise_pallas
+
+    # Pallas path: full decompose/shrink/reconstruct on VMEM halo windows;
+    # only the global MAD sigma (finest detail) is computed out here
+    fine = x - _sep_blur(x, _B3, 1)
+    sigma = mad_sigma(fine)
+    out = wavelet_denoise_pallas(x, sigma, strength, detail_blend)
+    if out is not None:
+        return out
+
     details, resid = atrous_decompose(x, LEVELS)
-    sigma = mad_sigma(details[0])
     out_details = []
     for lv, d in enumerate(details):
         # noise shrinks by ~2 per coarser à trous level (B3 kernel norm)
@@ -86,6 +96,15 @@ def _nlmeans(y, h2_base, detail, search_radius=5, patch_radius=2):
     lap = lap / jnp.maximum(jnp.max(lap), 1e-9)
     mask = lap * (1.0 - detail) + detail
     maskinv = 1.0 / (jnp.maximum(mask, 1e-6) * h2_base)
+
+    # Pallas kernel: the 121-offset accumulation stays in VMEM (~20x less
+    # HBM traffic than the whole-plane loop below)
+    if search_radius == 5 and patch_radius == 2:
+        from art_tpu.ops.nlmeans_pallas import nlmeans_pallas
+
+        out = nlmeans_pallas(y, maskinv)
+        if out is not None:
+            return out
 
     patch_n = (2 * patch_radius + 1) ** 2
     acc = jnp.zeros_like(y)

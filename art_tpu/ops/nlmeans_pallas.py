@@ -1,0 +1,120 @@
+"""NLMeans as a Pallas TPU kernel (reference: nlmeans.cc:50-260).
+
+The XLA whole-plane formulation materializes ~6 planes per search offset
+(121 offsets at search_radius 5) — ~70GB of HBM traffic at 24MP. Here each
+TILE x TILE tile loads one halo window of the luma and of the precomputed
+inverse weight-scale plane into VMEM and runs the full 121-offset
+accumulation on-chip: HBM traffic drops to ~3 plane passes.
+
+The patch distance is the reference's box sum of squared differences
+(via separable +-patch_radius adds in VMEM, equivalent to its
+summed-area-table corner reads); weights are exp(-dist2 * maskinv).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256
+PAD_Y = 8    # halo: search_radius + patch_radius = 7
+PAD_X = 64   # lane alignment (window width 384)
+
+SEARCH_R = 5
+PATCH_R = 2
+
+
+def _roll2(a, dy, dx):
+    out = a
+    if dy:
+        out = jnp.roll(out, -dy, axis=0)
+    if dx:
+        out = jnp.roll(out, -dx, axis=1)
+    return out
+
+
+def _box_patch(a):
+    """(2*PATCH_R+1)^2 box sum via separable static shifts (VMEM)."""
+    s = a
+    for d in range(1, PATCH_R + 1):
+        s = s + _roll2(a, d, 0) + _roll2(a, -d, 0)
+    out = s
+    for d in range(1, PATCH_R + 1):
+        out = out + _roll2(s, 0, d) + _roll2(s, 0, -d)
+    return out
+
+
+def _kernel(y_hbm, m_hbm, out_ref, ywin, mwin, sem):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wy = TILE + 2 * PAD_Y
+    wx = TILE + 2 * PAD_X
+    for ref, win in ((y_hbm, ywin), (m_hbm, mwin)):
+        copy = pltpu.make_async_copy(
+            ref.at[pl.ds(i * TILE, wy), pl.ds(j * TILE, wx)], win, sem)
+        copy.start()
+        copy.wait()
+    y = ywin[:]
+    maskinv = mwin[:]
+    n = 2 * SEARCH_R + 1
+
+    # fori_loop with dynamic rolls: a 121-way static unroll makes Mosaic
+    # keep every iteration's intermediates live (133MB of register spills)
+    def body(idx, carry):
+        acc, wsum = carry
+        ty = idx // n - SEARCH_R
+        tx = idx % n - SEARCH_R
+        sh = pltpu.roll(pltpu.roll(y, -ty, 0), -tx, 1)
+        dist2 = _box_patch((y - sh) ** 2)
+        wgt = jnp.exp(-jnp.minimum(dist2 * maskinv, 50.0))
+        return acc + wgt * sh, wsum + wgt
+
+    acc, wsum = jax.lax.fori_loop(
+        0, n * n, body, (jnp.zeros_like(y), jnp.zeros_like(y)))
+    res = acc / (wsum + 1e-5)
+    out_ref[:] = res[PAD_Y : PAD_Y + TILE, PAD_X : PAD_X + TILE]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run(y, maskinv, interpret=False):
+    h, w = y.shape
+    grid = (h // TILE, w // TILE)
+    wy, wx = TILE + 2 * PAD_Y, TILE + 2 * PAD_X
+    pad = ((PAD_Y, PAD_Y), (PAD_X, PAD_X))
+    yp = jnp.pad(y, pad, mode="edge")
+    mp = jnp.pad(maskinv, pad, mode="edge")
+    return pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), y.dtype),
+        scratch_shapes=[pltpu.VMEM((wy, wx), jnp.float32),
+                        pltpu.VMEM((wy, wx), jnp.float32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(yp, mp)
+
+
+def nlmeans_pallas(y, maskinv):
+    """Filtered luma, or None when the plane is too small to tile."""
+    h, w = y.shape
+    if h < TILE or w < TILE:
+        return None
+    ph = (-h) % TILE
+    pw = (-w) % TILE
+    if ph or pw:
+        y = jnp.pad(y, ((0, ph), (0, pw)), mode="edge")
+        maskinv = jnp.pad(maskinv, ((0, ph), (0, pw)), mode="edge")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = _run(y, maskinv, interpret=interpret)
+    if ph or pw:
+        out = out[:h, :w]
+    return out

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from art_tpu.core.curve1d import eval_curve, fit_curve
+from art_tpu.core.curve1d import eval_curve, fit_curve, fit_curves
 from art_tpu.ops.tonecurve import adjust_user_curve
 
 
@@ -23,7 +23,7 @@ def plan(pp, ctx):
     if all(l is None for l in luts):
         return None
     ident = np.linspace(0.0, 1.0, 65536, dtype=np.float32)
-    coeffs = np.stack([fit_curve(l if l is not None else ident)
+    coeffs = fit_curves([(l if l is not None else ident)
                        for l in luts])
     active = tuple(l is not None for l in luts)
     return (active,), {"coeffs": coeffs}

@@ -124,11 +124,19 @@ def _disc_kernel_blur(x, radius):
     d = np.sqrt(ys * ys + xs * xs) - radius
     k = np.where(d < 0, 1.0, np.maximum(1.0 - d, 0.0)).astype(np.float32)
     k /= k.sum()
-    kj = jnp.asarray(k)
+    # shift-multiply-add: a C=1 NCHW conv pads channels to the native
+    # tile on TPU and blows HLO temp memory up ~170x
     p = jnp.pad(x, r, mode="reflect")
-    return jax.lax.conv_general_dilated(
-        p[None, None], kj[None, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    h, w = x.shape
+    out = None
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            wgt = float(k[dy, dx])
+            if wgt == 0.0:
+                continue
+            piece = wgt * p[dy : dy + h, dx : dx + w]
+            out = piece if out is None else out + piece
+    return out
 
 
 def apply(rgb, data, static):

@@ -59,8 +59,12 @@ def atrous_reconstruct(details, residual):
 
 def mad_sigma(detail):
     """Noise sigma estimate: median absolute deviation of the finest level
-    (the reference's Mad()/MadMax per-tile statistic, whole-plane here)."""
-    return jnp.median(jnp.abs(detail)) / 0.6745
+    (the reference's Mad()/MadMax per-tile statistic, whole-plane here).
+
+    Subsampled 8x per axis: a full-plane jnp.median sorts 24M floats
+    (~75ms on v5e); 380k samples estimate the median to ~0.1%."""
+    sub = detail[::8, ::8] if detail.ndim == 2 else detail
+    return jnp.median(jnp.abs(sub)) / 0.6745
 
 
 def soft_threshold(d, t):

@@ -33,6 +33,11 @@ def main():
     pp.apply_arp_text(
         open("/root/reference/rtdata/profiles/Standard Film Curve.arp").read()
     )
+    # north-star config: AMaZE + denoise + tone (BASELINE.md)
+    pp.raw.bayer.method = "amaze"
+    pp.denoise.enabled = True
+    pp.denoise.luminance = 20.0
+    pp.denoise.chrominance = 20.0
 
     config, data = plan(frame, pp)
     inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
@@ -41,15 +46,16 @@ def main():
     inp_dev = jax.device_put(inp)
     data_dev = jax.device_put(data)
 
-    # warmup (compile)
+    # warmup (compile); fence with a host readback — block_until_ready
+    # does not reliably fence on the axon tunnel
     out = run(inp_dev, data_dev)
-    out.block_until_ready()
+    np.asarray(out[0, 0, :2])
 
     n = 10
     t0 = time.time()
     for _ in range(n):
         out = run(inp_dev, data_dev)
-    out.block_until_ready()
+    np.asarray(out[0, 0, :2])
     dt = (time.time() - t0) / n
 
     value = 1.0 / dt
