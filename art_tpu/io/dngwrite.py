@@ -161,7 +161,7 @@ def lj92_encode(img: np.ndarray, precision=16, predictor=1) -> bytes:
 def write_dng(path, mosaic: np.ndarray, pattern="RGGB", black=0.0,
               white=None, cam_mul=None, cam_xyz=None, compress=True,
               make="ART-TPU", model="Synthetic", iso=100,
-              baseline_exposure=0.0):
+              baseline_exposure=0.0, preview_rgb01=None):
     """Write a Bayer mosaic (H, W) uint16 as a DNG file."""
     mosaic = np.asarray(mosaic)
     assert mosaic.dtype == np.uint16 and mosaic.ndim == 2
@@ -228,6 +228,22 @@ def write_dng(path, mosaic: np.ndarray, pattern="RGGB", black=0.0,
         add(50728, T_RATIONAL, asn)             # AsShotNeutral
     if baseline_exposure:
         add(50730, T_SRATIONAL, [baseline_exposure])
+    # optional embedded JPEG preview (JPEGInterchangeFormat tags) so the
+    # histogram-matching / thumbnail paths have a camera rendition to read
+    preview = b""
+    if preview_rgb01 is not None:
+        import io as _io
+
+        from PIL import Image
+
+        arr = np.clip(np.moveaxis(np.asarray(preview_rgb01), 0, -1), 0, 1)
+        buf = _io.BytesIO()
+        Image.fromarray((arr * 255 + 0.5).astype(np.uint8)).save(
+            buf, format="JPEG", quality=90)
+        preview = buf.getvalue()
+        add(513, T_LONG, [0])                   # offset fixed after layout
+        add(514, T_LONG, [len(preview)])
+
     # strip location fixed after layout
     add(273, T_LONG, [0])
     add(279, T_LONG, [len(payload)])
@@ -252,15 +268,22 @@ def write_dng(path, mosaic: np.ndarray, pattern="RGGB", black=0.0,
     strip_off = data_off + len(extra)
     out = bytearray(header)
     out += struct.pack("<H", n)
+    preview_off = strip_off + len(payload) + (len(payload) % 2)
     for tag, typ, count, val, eoff in fixed:
         if tag == 273:
             val = struct.pack("<I", strip_off)
+        if tag == 513:
+            val = struct.pack("<I", preview_off)
         if val is None:
             val = struct.pack("<I", data_off + eoff)
         out += struct.pack("<HHI", tag, typ, count) + val
     out += struct.pack("<I", 0)  # next IFD
     out += extra
     out += payload
+    if preview:
+        if len(payload) % 2:
+            out += b"\x00"
+        out += preview
     with open(path, "wb") as f:
         f.write(out)
     return path

@@ -13,7 +13,8 @@ from PIL import Image
 from art_tpu.core.image import MAXVAL
 
 
-def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None):
+def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
+               exif_bytes=None):
     """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W)."""
     arr = np.asarray(rgb_encoded01)
     assert arr.ndim == 3 and arr.shape[0] == 3
@@ -39,6 +40,8 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None):
         kwargs.update(quality=quality, subsampling=0)
     if icc_bytes:
         kwargs.update(icc_profile=icc_bytes)
+    if exif_bytes:
+        kwargs.update(exif=exif_bytes)
     img.save(path, **kwargs)
 
 

@@ -198,6 +198,29 @@ def plan(frame, pp):
         except Exception:
             pass
 
+    # histogram-matched tone curve (histmatching.cc:444): derive the curve
+    # from the embedded camera JPEG against a neutral render
+    if (frame.is_raw and pp.tone_curve.histmatching
+            and not pp.tone_curve.from_histmatching and frame.filename):
+        try:
+            from art_tpu.io.metadata import embedded_thumb
+            from art_tpu.pipeline.autos import (_subsample_frame,
+                                                histogram_matching_curve)
+
+            thumb = embedded_thumb(frame.filename)
+            if thumb is not None:
+                from art_tpu.params.procparams import ProcParams
+
+                neutral = ProcParams()
+                neutral.raw.bayer.method = "fast"
+                small = develop(_subsample_frame(frame, 8), neutral)
+                pts = histogram_matching_curve(np.asarray(small), thumb)
+                pp.tone_curve.enabled = True
+                pp.tone_curve.curve = pts
+                pp.tone_curve.from_histmatching = True
+        except Exception:
+            pass
+
     # op chain with stage tags (SURVEY §2.4 execution order)
     stage_of = {}
     for nm in ops_pkg.STAGE_0:
@@ -482,5 +505,21 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
     if output_path is not None:
         from art_tpu.io.imagefile import save_image
 
-        save_image(output_path, out, bits=bits, quality=quality)
+        # metadata tunnel/edit (MetaDataParams.mode: 0=tunnel 1=edit
+        # 2=strip; rtengine/metadata.cc semantics)
+        exif_bytes = None
+        if pp.metadata.mode != 2 and frame.filename:
+            try:
+                from art_tpu.io.metadata import build_exif_bytes, harvest
+
+                tags, _ = harvest(frame.filename)
+                if pp.metadata.mode == 1 and pp.metadata.exif_keys:
+                    keep = set(pp.metadata.exif_keys.split(";"))
+                    tags = {k: v for k, v in tags.items() if k in keep}
+                if tags:
+                    exif_bytes = build_exif_bytes(tags)
+            except Exception:
+                pass
+        save_image(output_path, out, bits=bits, quality=quality,
+                   exif_bytes=exif_bytes)
     return out
