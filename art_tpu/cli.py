@@ -105,8 +105,30 @@ def parse_args(argv):
 def compose_params(path, opts) -> ProcParams:
     """Profile composition (main-cli.cc:679-846 / ART.1:60-70)."""
     pp = ProcParams()
+    if opts.get("use_default"):
+        # -d: default raw profile + dynamic profile rules (profilestore);
+        # rule matching only needs the EXIF header, not a full decode
+        import types
+
+        from art_tpu.io.metadata import harvest
+        from art_tpu.profiles import default_params_for
+
+        try:
+            tags, _ = harvest(path)
+        except Exception:
+            tags = {}
+        iso = tags.get("iso")
+        shim = types.SimpleNamespace(
+            iso=iso[0] if isinstance(iso, tuple) else iso,
+            exif=tags, make=tags.get("make", ""),
+            model=tags.get("model", ""))
+        pp = default_params_for(shim)
+    from art_tpu.profiles import get_store
+
+    store = get_store()
     for prof in opts["profiles"]:
-        pp.update_from_keyfile(KeyFile.load(prof))
+        resolved = store.resolve(prof) or prof
+        pp.update_from_keyfile(KeyFile.load(resolved))
     if opts["sidecar"]:
         sidecar = path + ".arp"
         if os.path.exists(sidecar):
