@@ -54,6 +54,8 @@ class PipelineConfig:
     # method-specific demosaic kwargs (hashable tuple of pairs):
     # dual_contrast/dual_auto for the dual methods, iterations for lmmse
     dem_kwargs: tuple = ()
+    # DCP input profile static part (has_hsm, dims, srgb_enc, has_tc, bl)
+    dcp: tuple | None = None
 
 
 def plan(frame, pp):
@@ -165,6 +167,25 @@ def plan(frame, pp):
         cam2work = cs.MATRICES_XYZ_TO_RGB[icc_working] @ xyz_cam
         data["cam2work"] = cam2work.astype(np.float32)
         do_clip = not (pp.exposure.enabled and pp.exposure.hrmode != "Off")
+
+        # DCP input profile (dcp.cc; replaces the plain matrix transform)
+        dcp_static = None
+        ip = pp.icm.input_profile
+        if isinstance(ip, str) and ip.lower().endswith(".dcp"):
+            import os as _os
+
+            from art_tpu.color.dcp import load_dcp, plan_dcp
+
+            if _os.path.isfile(ip):
+                if pp.wb.enabled and pp.wb.method in ("Custom",
+                                                      "CustomTemp"):
+                    wb_temp = float(pp.wb.temperature)
+                else:
+                    wb_temp, _ = wbmod.mul2temp(*np.asarray(wb_mults)[:3])
+                dcp_static, dcp_data = plan_dcp(
+                    load_dcp(ip), frame, wb_temp,
+                    cs.MATRICES_XYZ_TO_RGB[icc_working])
+                data.update(dcp_data)
     else:
         hotdead = None
         green_eq_t = 0.0
@@ -334,6 +355,7 @@ def plan(frame, pp):
         green_eq=green_eq_t,
         hl_mode=hl_mode,
         dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
+        dcp=dcp_static if frame.is_raw else None,
         coarse=coarse,
         transform=do_transform,
         linedn=(linedn, linedn_dir),
@@ -420,7 +442,12 @@ def _build_run(config: PipelineConfig):
                 rgb = jnp.clip(rgb, 0.0, MAXVAL)
         else:
             rgb = inp
-        rgb = _mat3(data["cam2work"], rgb)
+        if config.is_raw and config.dcp is not None:
+            from art_tpu.color.dcp import apply_dcp
+
+            rgb = apply_dcp(rgb, data, config.dcp)
+        else:
+            rgb = _mat3(data["cam2work"], rgb)
 
         for name, static, stage in config.steps:
             if stage == 0:
