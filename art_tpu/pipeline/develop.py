@@ -547,6 +547,13 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
                     exif_bytes = build_exif_bytes(tags)
             except Exception:
                 pass
+        icc = None
+        try:
+            from art_tpu.color.iccwrite import make_icc
+
+            icc = make_icc(_resolve_output_profile(pp.icm.output_profile))
+        except Exception:
+            icc = None
         save_image(output_path, out, bits=bits, quality=quality,
-                   exif_bytes=exif_bytes)
+                   exif_bytes=exif_bytes, icc_bytes=icc)
     return out

@@ -61,3 +61,33 @@ def test_working_space_conversion_roundtrip():
     m = cs.working_space_matrix("sRGB", "Rec2020")
     mi = cs.working_space_matrix("Rec2020", "sRGB")
     np.testing.assert_allclose(m @ mi, np.eye(3), atol=1e-6)
+
+
+def test_generated_icc_profiles_parse():
+    import io
+
+    from PIL import ImageCms
+
+    from art_tpu.color.iccwrite import make_icc
+
+    for name in ("sRGB", "Adobe RGB", "ProPhoto", "Rec2020"):
+        b = make_icc(name)
+        prof = ImageCms.ImageCmsProfile(io.BytesIO(b))
+        assert name in ImageCms.getProfileDescription(prof)
+
+
+def test_output_jpeg_embeds_icc(tmp_path):
+    import numpy as np
+    from PIL import Image
+
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import process_image
+
+    frame = synthesize_bayer(np.full((3, 64, 64), 0.4))
+    pp = ProcParams()
+    pp.icm.output_profile = "RTv4_sRGB"
+    out = tmp_path / "icc.jpg"
+    process_image(frame, pp, output_path=str(out))
+    img = Image.open(out)
+    assert img.info.get("icc_profile")
