@@ -56,6 +56,8 @@ class PipelineConfig:
     dem_kwargs: tuple = ()
     # DCP input profile static part (has_hsm, dims, srgb_enc, has_tc, bl)
     dcp: tuple | None = None
+    darkframe: bool = False
+    flatfield: tuple | None = None  # (blur_type, radius)
 
 
 def plan(frame, pp):
@@ -148,6 +150,33 @@ def plan(frame, pp):
             elif pp.raw.ca_red != 0 or pp.raw.ca_blue != 0:
                 ca_mode = ("manual", float(pp.raw.ca_red),
                            float(pp.raw.ca_blue))
+
+        # dark frame / flat field (copyOriginalPixels, rawflatfield.cc)
+        import os as _os
+
+        darkframe = False
+        if (pp.raw.df_enabled and pp.raw.df_file
+                and _os.path.isfile(pp.raw.df_file)):
+            from art_tpu.io.rawfile import load_raw as _lr
+
+            df = _lr(pp.raw.df_file)
+            if df.cfa.shape == frame.cfa.shape:
+                dfp, _ = pad_to_multiple(df.cfa, settings.pad_multiple)
+                data["df_plane"] = np.asarray(dfp, dtype=np.float32)
+                darkframe = True
+        flatfield = None
+        if (pp.raw.ff_enabled and pp.raw.ff_file
+                and _os.path.isfile(pp.raw.ff_file)):
+            from art_tpu.io.rawfile import load_raw as _lr
+
+            ff = _lr(pp.raw.ff_file)
+            if ff.cfa.shape == frame.cfa.shape:
+                ffp, _ = pad_to_multiple(ff.cfa, settings.pad_multiple)
+                data["ff_plane"] = np.asarray(ffp, dtype=np.float32)
+                bt = (pp.raw.ff_blur_type or "area").lower()
+                bt = {"area flatfield": "area", "vertical": "v",
+                      "horizontal": "h", "v+h": "vh"}.get(bt, bt)
+                flatfield = (bt, int(pp.raw.ff_blur_radius))
 
         # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
         hl_mode = "Off"
@@ -354,6 +383,8 @@ def plan(frame, pp):
         hotdead=hotdead,
         green_eq=green_eq_t,
         hl_mode=hl_mode,
+        darkframe=darkframe if frame.is_raw else False,
+        flatfield=flatfield if frame.is_raw else None,
         dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
         dcp=dcp_static if frame.is_raw else None,
         coarse=coarse,
@@ -395,6 +426,25 @@ def _build_run(config: PipelineConfig):
 
     def run(inp, data):
         if config.is_raw:
+            if config.darkframe:
+                from art_tpu.raw.dfff import subtract_dark
+
+                inp = subtract_dark(inp, data["df_plane"])
+            if config.flatfield is not None:
+                bt, rad = config.flatfield
+                if config.pattern is not None:
+                    from art_tpu.raw.dfff import apply_flatfield_bayer
+
+                    inp = apply_flatfield_bayer(inp, data["ff_plane"],
+                                                bt, rad)
+                elif config.xtrans is not None:
+                    from art_tpu.core.image import xtrans_color_index
+                    from art_tpu.raw.dfff import apply_flatfield_xtrans
+
+                    cidx = jnp.asarray(xtrans_color_index(
+                        config.xtrans, inp.shape))
+                    inp = apply_flatfield_xtrans(inp, data["ff_plane"],
+                                                 cidx, bt, rad)
             cfa = rawpre.apply_scale(inp, data["raw_offset"],
                                      data["raw_scale"], jnp)
             if config.hotdead is not None and config.pattern is not None:
