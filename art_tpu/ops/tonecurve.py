@@ -208,10 +208,26 @@ def plan(pp, ctx):
     if lut is None:
         lut = np.linspace(0.0, 1.0, LUT_SIZE, dtype=np.float32)
 
-    # mode dispatch: unimplemented appearance modes fall back to Standard
     mode = mode1
-    if mode in ("Perceptual",):
-        mode = "Standard"  # CIECAM02 milestone
+    if mode == "Perceptual":
+        from art_tpu.color.colorspaces import MATRICES_RGB_TO_XYZ
+
+        work = ctx["working_profile"]
+        w2x = MATRICES_RGB_TO_XYZ[work]
+        p2x = MATRICES_RGB_TO_XYZ["ProPhoto"]
+        contrast_value = _curve_contrast_value(lut)
+        cmul = float(np.interp(contrast_value, _CF_X, _CF_Y))
+        data = {
+            "coeffs": fit_curve(lut),
+            "w2p": (np.linalg.inv(p2x) @ w2x).astype(np.float32),
+            "p2w": (np.linalg.inv(w2x) @ p2x).astype(np.float32),
+            "pws": p2x.astype(np.float32),
+            "pws_inv": np.linalg.inv(p2x).astype(np.float32),
+            "cmul": np.float32(cmul),
+            "strength": np.float32(
+                np.clip(tc.perceptual_strength / 100.0, 0.0, 1.0)),
+        }
+        return ("perceptual", clip_first), data
     if mode == "Neutral":
         from art_tpu.ops import tonecurve_neutral
 
@@ -221,6 +237,120 @@ def plan(pp, ctx):
     lum_w = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]][1]
     data = {"coeffs": fit_curve(lut), "lum_w": lum_w.astype(np.float32)}
     return (mode.lower(), clip_first), data
+
+
+# PerceptualToneCurve contrast->chroma-scaling handles (curves.cc:783)
+_CF_X = (0.60, 0.70, 0.90, 0.99, 1.00, 1.07, 1.08, 1.11, 1.20, 1.30,
+         1.80, 2.00)
+_CF_Y = (0.70, 0.80, 0.94, 1.00, 1.00, 1.00, 1.00, 1.02, 1.08, 1.12,
+         1.20, 1.22)
+
+
+def _curve_contrast_value(lut):
+    """calculateToneCurveContrastValue (curves.cc:390): best linear slope
+    removed, then max midtone slope in gamma-encoded space."""
+    n = len(lut)
+    xs = np.linspace(0.0, 1.0, n)
+
+    def g2(v):
+        return np.where(v <= 0.0031308, v * 12.92,
+                        1.055 * np.maximum(v, 0.0) ** (1 / 2.4) - 0.055)
+
+    def ig2(v):
+        return np.where(v <= 0.04045, v / 12.92,
+                        ((v + 0.055) / 1.055) ** 2.4)
+
+    genc = g2(np.interp(ig2(xs), xs, lut))
+
+    def rms(k):
+        return np.mean((genc - k * xs) ** 2)
+
+    ks = np.linspace(0.1, 5.0, 200)
+    k = ks[int(np.argmin([rms(kk) for kk in ks]))]
+
+    def slope_at(tx, xd=0.07):
+        y0 = np.interp(tx - xd, xs, genc) - k * (tx - xd)
+        y1 = np.interp(tx + xd, xs, genc) - k * (tx + xd)
+        return 1.0 + (y1 - y0) / (2 * xd)
+
+    mid = max(slope_at(t) for t in (0.30, 0.35, 0.40, 0.45))
+    edge = max(slope_at(t) for t in (0.20, 0.25, 0.50, 0.55))
+    return mid * 0.7 + edge * 0.3
+
+
+def _scurve(x):
+    return jnp.where(x < 0.5, 2.0 * x * x, 1.0 - 2.0 * (1.0 - x) ** 2)
+
+
+def _apply_perceptual(rgb, data):
+    """PerceptualToneCurve::BatchApply (curves.cc:456) — luminance from
+    the hue-stable (FilmLike) curve, chroma rescaled by the curve's
+    contrast. Deviation: the chroma modulation runs in Jzazbz (our
+    appearance space elsewhere) instead of CIECAM02 JCh; the saturated/
+    shadow guards use equivalent normalized thresholds."""
+    from art_tpu.color import jzazbz
+    from art_tpu.ops.tonecurve_neutral import _mat3
+
+    coeffs = data["coeffs"]
+    strength = data["strength"]
+    x = jnp.clip(rgb, 0.0, MAXVAL)
+    pro = jnp.clip(_mat3(data["w2p"], x), 0.0, MAXVAL)
+
+    # out-of-gamut blue fix (ACES trick, curves.cc:500)
+    r, g, b = pro[0], pro[1], pro[2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    c = mx - mn
+    safe = jnp.where(c > 0, c, 1.0)
+    h6 = jnp.where(
+        mx == r, (g - b) / safe,
+        jnp.where(mx == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe))
+    h6 = jnp.where(h6 < 0, h6 + 6.0, h6)
+    hue = h6 * 60.0
+    sat = jnp.where(mx > 0, c / jnp.maximum(mx, 1e-9), 0.0)
+    dist = jnp.abs(hue - 250.0)
+    xg = _scurve(jnp.clip(1.0 - jnp.maximum(dist - 20.0, 0.0) / 20.0, 0, 1))
+    xx = _scurve(jnp.clip((sat - 0.65) / 0.35, 0.0, 1.0))
+    gate = ((dist <= 40.0) & (sat >= 0.65)).astype(x.dtype) * xg * xx
+    g = g * (1.0 - gate) + (0.94 * g + 0.06 * b) * gate
+    pro = jnp.stack([r, g, b])
+
+    std = _mat3(data["p2w"], _apply_std(pro, coeffs))
+    adobe = _apply_filmlike(pro, coeffs)
+
+    yr, yg, yb = 0.2880402, 0.7118741, 0.0000857
+    old_y = yr * pro[0] + yg * pro[1] + yb * pro[2]
+    new_y = yr * adobe[0] + yg * adobe[1] + yb * adobe[2]
+    lcoef = new_y / jnp.maximum(old_y, 1e-5)
+    scaled = jnp.clip(pro * lcoef, 0.0, MAXVAL)
+
+    # chroma modulation (Jzazbz stand-in for CIECAM02 JCh)
+    sp = scaled / MAXVAL
+    jz, cz, hz = jzazbz.rgb_to_jzczhz(sp[0], sp[1], sp[2], data["pws"])
+    cnorm = cz / jnp.maximum(jz, 1e-6)  # saturation-like, ~0..1+
+    cmul = data["cmul"]
+    # saturated colors: ease the scaling off (lolim 35 hilim 60 of C~100)
+    tsat = _scurve(jnp.clip((cnorm - 0.35) / 0.25, 0.0, 1.0))
+    cmul_px = cmul * ((1.0 - tsat) + 0.95 * tsat)
+    # shadows: slightly stronger chroma (gamma-encoded Y 0.15..0.50)
+    ny = jnp.where(new_y / MAXVAL <= 0.0031308, new_y / MAXVAL * 12.92,
+                   1.055 * jnp.maximum(new_y / MAXVAL, 1e-9) ** (1 / 2.4)
+                   - 0.055)
+    tdark = _scurve(jnp.clip((ny - 0.15) / 0.35, 0.0, 1.0))
+    cmul_px = cmul_px * (1.20 * (1.0 - tdark) + tdark)
+    # near-black: fade scaling to 1 (J lolim 4 hilim 7 of 100)
+    tblack = _scurve(jnp.clip((jz / 0.01 - 0.4) / 0.3, 0.0, 1.0))
+    cmul_px = (1.0 - tblack) + cmul_px * tblack
+
+    r2, g2, b2 = jzazbz.jzczhz_to_rgb(jz, cz * cmul_px, hz, data["pws_inv"])
+    out = _mat3(data["p2w"], jnp.clip(jnp.stack([r2, g2, b2]), 0.0, 1.0)
+                * MAXVAL)
+    out = strength * out + (1.0 - strength) * std
+    # hard clip fast paths (all-white / all-black from the adobe curve)
+    white = jnp.all(adobe >= MAXVAL, axis=0)
+    black = jnp.all(adobe <= 0.0, axis=0)
+    out = jnp.where(white[None], MAXVAL, jnp.where(black[None], 0.0, out))
+    return jnp.clip(out, 0.0, MAXVAL)
 
 
 def apply(rgb, data, static):
@@ -233,6 +363,8 @@ def apply(rgb, data, static):
     if clip_first:
         rgb = filmlike_clip(rgb)
     coeffs = data["coeffs"]
+    if mode == "perceptual":
+        return _apply_perceptual(rgb, data)
     if mode == "filmlike":
         return _apply_filmlike(rgb, coeffs)
     if mode == "luminance":

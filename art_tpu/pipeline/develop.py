@@ -51,6 +51,7 @@ class PipelineConfig:
     hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
     green_eq: float = 0.0
     hl_mode: str = "Off"
+    pdaf: bool = False
     # method-specific demosaic kwargs (hashable tuple of pairs):
     # dual_contrast/dual_auto for the dual methods, iterations for lmmse
     dem_kwargs: tuple = ()
@@ -143,6 +144,19 @@ def plan(frame, pp):
                 and pp.raw.bayer.linenoise > 0):
             linedn = float(pp.raw.bayer.linenoise)
             linedn_dir = int(pp.raw.bayer.linenoise_direction)
+        pdaf = False
+        if frame.pattern is not None and pp.raw.bayer.pdaf_lines_filter:
+            from art_tpu.raw.camconst import get_instance as _cc
+
+            cc = _cc().get(frame.make, frame.model)
+            pd = cc.pdaf() if cc is not None else None
+            if pd:
+                from art_tpu.raw.pdaf import pdaf_row_mask
+
+                rows_, off_ = pd
+                data["pdaf_rows"] = pdaf_row_mask(
+                    rows_, off_, shape[0]).astype(np.float32)
+                pdaf = True
         ca_mode = None
         if frame.pattern is not None and pp.raw.ca_enabled:
             if pp.raw.ca_autocorrect:
@@ -383,6 +397,7 @@ def plan(frame, pp):
         hotdead=hotdead,
         green_eq=green_eq_t,
         hl_mode=hl_mode,
+        pdaf=pdaf if frame.is_raw else False,
         darkframe=darkframe if frame.is_raw else False,
         flatfield=flatfield if frame.is_raw else None,
         dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
@@ -467,6 +482,12 @@ def _build_run(config: PipelineConfig):
 
                 cfa = cfa_line_denoise(cfa, config.linedn[0],
                                        config.linedn[1])
+            if config.pdaf and config.pattern is not None:
+                from art_tpu.core.image import bayer_channel_masks
+                from art_tpu.raw.pdaf import pdaf_filter
+
+                _, mg, _ = bayer_channel_masks(config.pattern, cfa.shape)
+                cfa = pdaf_filter(cfa, mg, data["pdaf_rows"])
             if config.ca_mode is not None and config.pattern is not None:
                 from art_tpu.raw.ca_correct import ca_correct
 

@@ -151,3 +151,14 @@ def get_instance() -> CameraConstantsStore:
     if _instance is None:
         _instance = CameraConstantsStore()
     return _instance
+
+
+def _camconst_pdaf(self):
+    """(pattern row indices, offset) or None (camconst.json pdaf_pattern)."""
+    pat = self.data.get("pdaf_pattern")
+    if not pat:
+        return None
+    return [int(v) for v in pat], int(self.data.get("pdaf_offset", 0))
+
+
+CameraConst.pdaf = _camconst_pdaf
