@@ -18,6 +18,11 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
     """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W)."""
     arr = np.asarray(rgb_encoded01)
     assert arr.ndim == 3 and arr.shape[0] == 3
+    import os
+
+    d = os.path.dirname(str(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
     chw = np.clip(arr, 0.0, 1.0)
     hwc = np.moveaxis(chw, 0, -1)
     path = str(path)

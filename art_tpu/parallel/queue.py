@@ -7,8 +7,9 @@ Reference semantics carried over (rtgui/batchqueue.cc):
 
 TPU-native execution (replaces the serial batchProcessingThread):
 - jobs are grouped by PipelineConfig (same compiled program);
-- groups are chunked to the mesh size and vmapped over a `batch` axis with
-  `NamedSharding(P("batch"))` — one image per device per step;
+- groups are chunked to the mesh size and mapped over a `batch` axis with
+  `shard_map` (one image per device per step; vmap cannot batch the
+  Pallas kernels' ANY-memory-space blocks);
 - host threads decode the next chunk and encode finished outputs while the
   device works (double buffering), keeping HBM fed.
 """
@@ -130,11 +131,22 @@ def process_batch(jobs, devices=None, progress=None):
     for config, indices in groups.items():
         if config not in compiled_cache:
             fn = _build_run(config)
-            batched = jax.jit(
-                jax.vmap(fn, in_axes=(0, 0)),
-                in_shardings=(batch_sharding, batch_sharding),
-                out_shardings=batch_sharding,
-            )
+
+            def _per_device(inp, data, _fn=fn):
+                out = _fn(inp[0], jax.tree.map(lambda x: x[0], data))
+                return out[None]
+
+            from jax.sharding import PartitionSpec as _P
+
+            try:
+                from jax import shard_map
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+
+            batched = jax.jit(shard_map(
+                _per_device, mesh=mesh,
+                in_specs=(_P("batch"), _P("batch")),
+                out_specs=_P("batch"), check_vma=False))
             compiled_cache[config] = batched
         batched = compiled_cache[config]
 
