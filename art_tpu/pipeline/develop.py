@@ -49,6 +49,7 @@ class PipelineConfig:
     linedn: tuple = (0.0, 3)
     ca_mode: tuple | None = None
     hotdead: tuple | None = None  # (find_hot, find_dead, thresh)
+    badpix_file: bool = False
     green_eq: float = 0.0
     hl_mode: str = "Off"
     pdaf: bool = False
@@ -126,6 +127,20 @@ def plan(frame, pp):
             splan["cblack"], raw_expos, is_mono=(method == "mono"))
         data["rgb_mults"] = mults.astype(np.float32)
         data["init_gain"] = np.float32(splan["gain"])
+
+        # user .badpixels file (dfmanager.cc getBadPixels)
+        from art_tpu.raw.badpixfile import (badpixel_mask,
+                                            find_badpixels_for,
+                                            parse_badpixels_file)
+
+        bp_file = find_badpixels_for(frame.make, frame.model)
+        if bp_file:
+            pts = parse_badpixels_file(bp_file)
+            if pts:
+                m = badpixel_mask(pts, frame.cfa.shape)
+                mp, _ = pad_to_multiple(m.astype(np.float32),
+                                        settings.pad_multiple)
+                data["badpix_mask"] = mp
 
         # raw preprocessing flags (preprocess, rawimagesource.cc:1479-1845)
         hotdead = None
@@ -398,6 +413,7 @@ def plan(frame, pp):
         green_eq=green_eq_t,
         hl_mode=hl_mode,
         pdaf=pdaf if frame.is_raw else False,
+        badpix_file="badpix_mask" in data,
         darkframe=darkframe if frame.is_raw else False,
         flatfield=flatfield if frame.is_raw else None,
         dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
@@ -462,6 +478,13 @@ def _build_run(config: PipelineConfig):
                                                  cidx, bt, rad)
             cfa = rawpre.apply_scale(inp, data["raw_offset"],
                                      data["raw_scale"], jnp)
+            if config.badpix_file and config.pattern is not None:
+                from art_tpu.core.image import bayer_channel_masks
+                from art_tpu.raw.badpixels import interpolate_bad_bayer
+
+                _, mg, _ = bayer_channel_masks(config.pattern, cfa.shape)
+                cfa = interpolate_bad_bayer(
+                    cfa, data["badpix_mask"] > 0.5, mg)
             if config.hotdead is not None and config.pattern is not None:
                 from art_tpu.core.image import bayer_channel_masks
                 from art_tpu.raw.badpixels import (find_hot_dead,
