@@ -161,7 +161,7 @@ def lj92_encode(img: np.ndarray, precision=16, predictor=1) -> bytes:
 def write_dng(path, mosaic: np.ndarray, pattern="RGGB", black=0.0,
               white=None, cam_mul=None, cam_xyz=None, compress=True,
               make="ART-TPU", model="Synthetic", iso=100,
-              baseline_exposure=0.0, preview_rgb01=None):
+              baseline_exposure=0.0, preview_rgb01=None, gain_maps=None):
     """Write a Bayer mosaic (H, W) uint16 as a DNG file."""
     mosaic = np.asarray(mosaic)
     assert mosaic.dtype == np.uint16 and mosaic.ndim == 2
@@ -228,6 +228,21 @@ def write_dng(path, mosaic: np.ndarray, pattern="RGGB", black=0.0,
         add(50728, T_RATIONAL, asn)             # AsShotNeutral
     if baseline_exposure:
         add(50730, T_SRATIONAL, [baseline_exposure])
+    if gain_maps is not None:
+        # OpcodeList2 with four per-coset GainMap opcodes (big-endian)
+        ops = bytearray(struct.pack(">I", len(gain_maps)))
+        for gm in gain_maps:
+            g = np.asarray(gm["gains"], dtype=">f4")
+            pv, ph = g.shape
+            body = struct.pack(
+                ">10I4dI", gm.get("top", 0), gm.get("left", 0),
+                gm.get("bottom", h), gm.get("right", w), 0, 1, 2, 2,
+                pv, ph, gm.get("spacing_v", 1.0 / max(pv - 1, 1)),
+                gm.get("spacing_h", 1.0 / max(ph - 1, 1)), 0.0, 0.0,
+                1) + g.tobytes()
+            ops += struct.pack(">IIII", 9, 0x01040000, 0, len(body)) + body
+        entries.append([51009, 7, len(ops), bytes(ops)])
+
     # optional embedded JPEG preview (JPEGInterchangeFormat tags) so the
     # histogram-matching / thumbnail paths have a camera rendition to read
     preview = b""

@@ -60,6 +60,7 @@ class PipelineConfig:
     dcp: tuple | None = None
     darkframe: bool = False
     flatfield: tuple | None = None  # (blur_type, radius)
+    gainmap: bool = False
 
 
 def plan(frame, pp):
@@ -193,8 +194,28 @@ def plan(frame, pp):
                 dfp, _ = pad_to_multiple(df.cfa, settings.pad_multiple)
                 data["df_plane"] = np.asarray(dfp, dtype=np.float32)
                 darkframe = True
+        # embedded DNG gain map (FlatFieldUseEmbedded, gainmap.cc:179)
+        gainmap = False
+        if pp.raw.ff_enabled and pp.raw.ff_embedded and frame.filename:
+            try:
+                from art_tpu.io.gainmap import (build_gain_plane,
+                                                parse_gain_maps,
+                                                read_opcodelist2)
+
+                maps = parse_gain_maps(read_opcodelist2(frame.filename))
+                sf = max((100.0 - float(pp.raw.ff_clip_control)) / 100.0,
+                         0.01)
+                plane = build_gain_plane(maps, frame.cfa.shape, sf)
+                if plane is not None:
+                    gp, _ = pad_to_multiple(plane, settings.pad_multiple)
+                    # pad region gain defaults to 1
+                    gp = np.asarray(gp, dtype=np.float32)
+                    data["gain_plane"] = gp
+                    gainmap = True
+            except Exception:
+                gainmap = False
         flatfield = None
-        if (pp.raw.ff_enabled and pp.raw.ff_file
+        if (not gainmap and pp.raw.ff_enabled and pp.raw.ff_file
                 and _os.path.isfile(pp.raw.ff_file)):
             from art_tpu.io.rawfile import load_raw as _lr
 
@@ -416,6 +437,7 @@ def plan(frame, pp):
         badpix_file="badpix_mask" in data,
         darkframe=darkframe if frame.is_raw else False,
         flatfield=flatfield if frame.is_raw else None,
+        gainmap=gainmap if frame.is_raw else False,
         dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
         dcp=dcp_static if frame.is_raw else None,
         coarse=coarse,
@@ -461,6 +483,16 @@ def _build_run(config: PipelineConfig):
                 from art_tpu.raw.dfff import subtract_dark
 
                 inp = subtract_dark(inp, data["df_plane"])
+            if config.gainmap:
+                # (raw - black)*gain + black on the raw ADUs; black comes
+                # from the same periodic offset tile used by apply_scale
+                off = data["raw_offset"]
+                th = off.shape[0]
+                hh, ww = inp.shape
+                v = inp.reshape(hh // th, th, ww)
+                v = (v - off[None]) * data["gain_plane"].reshape(
+                    hh // th, th, ww) + off[None]
+                inp = jnp.maximum(v.reshape(hh, ww), 0.0)
             if config.flatfield is not None:
                 bt, rad = config.flatfield
                 if config.pattern is not None:
