@@ -7,10 +7,6 @@ A .dcp is a little TIFF of DNG-spec tags:
   (50981/50982), BaselineExposureOffset (51109), ProfileHueSatMapEncoding
   (51107).
 
-STATUS: matrices + HueSatMap + ProfileToneCurve + baseline exposure are
-applied; the LookTable is parsed but not yet applied (next round, same
-lookup machinery).
-
 Application (dcp.cc DCPProfile::apply / step2):
   camera RGB --M1--> linear ProPhoto --HSV HueSatMap--> --M2--> working,
   then (step 2) the look table and profile tone curve. The matrices are
@@ -205,6 +201,9 @@ def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv):
                + (1.0 - mix) * profile.hsm_data_2
                if profile.hsm_data_2 is not None else profile.hsm_data_1)
         data["dcp_hsm"] = np.asarray(tab, dtype=np.float32)
+    has_look = profile.look_data is not None
+    if has_look:
+        data["dcp_look"] = np.asarray(profile.look_data, dtype=np.float32)
     has_tc = profile.tone_curve is not None and len(profile.tone_curve) >= 2
     if has_tc:
         from art_tpu.core.curve1d import fit_curve
@@ -217,7 +216,9 @@ def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv):
         if profile.baseline_exposure_offset else 1.0
     static = (has_hsm,
               tuple(profile.hsm_dims) if has_hsm else None,
-              bool(profile.hsm_srgb_encoding), has_tc, float(bl))
+              bool(profile.hsm_srgb_encoding), has_tc, float(bl),
+              has_look,
+              tuple(profile.look_dims) if has_look else None)
     return static, data
 
 
@@ -301,26 +302,35 @@ def _hsm_lookup(table, dims, srgb_enc, h, s, v):
     return out[..., 0], out[..., 1], out[..., 2]
 
 
+def _apply_hsv_table(x, table, dims, srgb_enc):
+    """One hue/sat/val table pass on a ProPhoto-linear stack in [0,1]."""
+    r, g, b = x[0], x[1], x[2]
+    neg = (r < 0) | (g < 0) | (b < 0)
+    h, s, v = _rgb2hsv(jnp.maximum(r, 0), jnp.maximum(g, 0),
+                       jnp.maximum(b, 0))
+    hs, ss, vs = _hsm_lookup(table, dims, srgb_enc, h, s, v)
+    h2 = h + hs * (6.0 / 360.0)
+    h2 = jnp.where(h2 < 0, h2 + 6.0, jnp.where(h2 >= 6.0, h2 - 6.0, h2))
+    s2 = jnp.clip(s * ss, 0.0, 1.0)
+    v2 = v * vs
+    r2, g2, b2 = _hsv2rgb(h2, s2, v2)
+    return jnp.where(neg[None], x, jnp.stack([r2, g2, b2]))
+
+
 def apply_dcp(rgb, data, static):
     """Device: cam RGB (0..65535) -> working RGB, DCP transforms applied."""
-    has_hsm, dims, srgb_enc, has_tc, bl_scale = static
+    (has_hsm, dims, srgb_enc, has_tc, bl_scale,
+     has_look, look_dims) = static
     from art_tpu.pipeline.develop import _mat3
 
     x = _mat3(data["dcp_cam2pro"], rgb * (1.0 / 65535.0))
     if bl_scale != 1.0:
         x = x * bl_scale
     if has_hsm:
-        r, g, b = x[0], x[1], x[2]
-        neg = (r < 0) | (g < 0) | (b < 0)
-        h, s, v = _rgb2hsv(jnp.maximum(r, 0), jnp.maximum(g, 0),
-                           jnp.maximum(b, 0))
-        hs, ss, vs = _hsm_lookup(data["dcp_hsm"], dims, srgb_enc, h, s, v)
-        h2 = h + hs * (6.0 / 360.0)
-        h2 = jnp.where(h2 < 0, h2 + 6.0, jnp.where(h2 >= 6.0, h2 - 6.0, h2))
-        s2 = jnp.clip(s * ss, 0.0, 1.0)
-        v2 = v * vs
-        r2, g2, b2 = _hsv2rgb(h2, s2, v2)
-        x = jnp.where(neg[None], x, jnp.stack([r2, g2, b2]))
+        x = _apply_hsv_table(x, data["dcp_hsm"], dims, srgb_enc)
+    if has_look:
+        # step2: look table after the color rendering (dcp.cc:1560-1590)
+        x = _apply_hsv_table(x, data["dcp_look"], look_dims, True)
     if has_tc:
         from art_tpu.core.curve1d import eval_curve
 
