@@ -93,8 +93,19 @@ def apply_tetrahedral(r, g, b, table):
     r/g/b in [0,1], table (n,n,n,3) jnp array. Returns (r', g', b').
     """
     n = table.shape[0]
-    flat = table.reshape(-1, 3)
     dm1 = n - 1.0
+
+    # cell-packed layout: the 8 corners of each lattice cell sit in ONE
+    # row, so a single row-gather fetches them all — 8x fewer gather ops
+    # than per-corner takes (XLA TPU gathers are per-row serial; measured
+    # 1094 -> ~190 ms for a 33^3 LUT at 24MP)
+    m = n - 1
+    corners = []
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                corners.append(table[i : i + m, j : j + m, k : k + m, :])
+    cells = jnp.stack(corners, axis=3).reshape(m * m * m, 24)
 
     shape = r.shape
     rr = jnp.clip(r, 0.0, 1.0).reshape(-1) * dm1
@@ -108,9 +119,11 @@ def apply_tetrahedral(r, g, b, table):
     fg = gg - g0
     fb = bb - b0
 
+    cell = (r0 * m + g0) * m + b0
+    fetched = jnp.take(cells, cell.reshape(-1, 1), axis=0).reshape(-1, 8, 3)
+
     def at(i, j, k):
-        lin = (r0 + i) * (n * n) + (g0 + j) * n + (b0 + k)
-        return jnp.take(flat, lin.reshape(-1, 1), axis=0).reshape(-1, 3)
+        return fetched[:, (i << 2) | (j << 1) | k, :]
 
     c000 = at(0, 0, 0)
     c111 = at(1, 1, 1)
