@@ -252,15 +252,24 @@ def _hsv2rgb(h, s, v):
 
 
 def _hsm_lookup(table, dims, srgb_enc, h, s, v):
-    """Bilinear (2.5D) / trilinear hue-sat-map table lookup (hsdApply)."""
+    """Bilinear (2.5D) / trilinear hue-sat-map table lookup (hsdApply).
+
+    Cell-packed: a cell's 4 (h, s) corners (x2 value levels in 3D) sit
+    in one row so one gather fetches them all — the TPU row-gather trick
+    from lut3d.apply_tetrahedral. Hue wraps via a rolled corner plane.
+    """
     hd, sd, vd = dims
-    flat = jnp.asarray(table).reshape(-1, 3)  # (vd*hd*sd, 3)
+    tab = jnp.asarray(table)  # (vd, hd, sd, 3)
+    th1 = jnp.roll(tab, -1, axis=1)  # h+1 with wrap
+    corners = [tab[:, :, : sd - 1], th1[:, :, : sd - 1],
+               tab[:, :, 1:sd], th1[:, :, 1:sd]]
+    cells = jnp.stack(corners, axis=3)  # (vd, hd, sd-1, 4, 3)
+    cells = cells.reshape(vd * hd * max(sd - 1, 1), 12)
 
     h_scaled = h * (hd / 6.0)
     s_scaled = s * (sd - 1)
     h0 = jnp.clip(h_scaled.astype(jnp.int32), 0, hd - 1)
     s0 = jnp.clip(s_scaled.astype(jnp.int32), 0, sd - 2)
-    h1 = jnp.where(h0 >= hd - 1, 0, h0 + 1)
     hf = h_scaled - h0.astype(h.dtype)
     sf = s_scaled - s0.astype(h.dtype)
 
@@ -279,18 +288,12 @@ def _hsm_lookup(table, dims, srgb_enc, h, s, v):
         v1 = v0 + 1
         vf = v_scaled - v0.astype(h.dtype)
 
-    def fetch(vi, hi, si):
-        idx = (vi * hd + hi) * sd + si
-        shp = idx.shape
-        idx2 = idx.reshape(-1, shp[-1]) if idx.ndim > 2 else idx
-        out = jnp.take(flat, idx2, axis=0)
-        return out.reshape(shp + (3,))
-
     def bilin(vi):
-        c00 = fetch(vi, h0, s0)
-        c01 = fetch(vi, h1, s0)
-        c10 = fetch(vi, h0, s0 + 1)
-        c11 = fetch(vi, h1, s0 + 1)
+        idx = (vi * hd + h0) * (sd - 1) + s0
+        fetched = jnp.take(cells, idx.reshape(-1, 1),
+                           axis=0).reshape(-1, 4, 3)
+        c00, c01, c10, c11 = (fetched[:, k, :].reshape(h.shape + (3,))
+                              for k in range(4))
         hf_ = hf[..., None]
         sf_ = sf[..., None]
         return ((1 - sf_) * ((1 - hf_) * c00 + hf_ * c01)
