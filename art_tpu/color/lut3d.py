@@ -91,14 +91,15 @@ def apply_tetrahedral(r, g, b, table):
     """Tetrahedral 3D LUT interpolation (LUT3D.cc apply_tetra).
 
     r/g/b in [0,1], table (n,n,n,3) jnp array. Returns (r', g', b').
+
+    TPU formulation: the 8 corners of each lattice cell are packed into
+    one row so a single row-gather fetches them all (XLA TPU gathers are
+    per-row serial: 8x fewer gathers, 1094 -> ~190 ms for 33^3 at 24MP).
+    The gather output (P, 24) pads 24 lanes to 128 (5.3x), so pixels are
+    processed in lax.map chunks to bound the padded temp (~180MB).
     """
     n = table.shape[0]
     dm1 = n - 1.0
-
-    # cell-packed layout: the 8 corners of each lattice cell sit in ONE
-    # row, so a single row-gather fetches them all — 8x fewer gather ops
-    # than per-corner takes (XLA TPU gathers are per-row serial; measured
-    # 1094 -> ~190 ms for a 33^3 LUT at 24MP)
     m = n - 1
     corners = []
     for i in (0, 1):
@@ -108,55 +109,72 @@ def apply_tetrahedral(r, g, b, table):
     cells = jnp.stack(corners, axis=3).reshape(m * m * m, 24)
 
     shape = r.shape
-    rr = jnp.clip(r, 0.0, 1.0).reshape(-1) * dm1
-    gg = jnp.clip(g, 0.0, 1.0).reshape(-1) * dm1
-    bb = jnp.clip(b, 0.0, 1.0).reshape(-1) * dm1
+    p = int(np.prod(shape))
+    # chunk count: keep each (Pc, 128-padded-24) temp under ~200MB
+    chunks = 1
+    while p % (chunks * 2) == 0 and (p // chunks) * 128 * 4 > 200e6:
+        chunks *= 2
 
-    r0 = jnp.minimum(jnp.floor(rr), dm1 - 1).astype(jnp.int32)
-    g0 = jnp.minimum(jnp.floor(gg), dm1 - 1).astype(jnp.int32)
-    b0 = jnp.minimum(jnp.floor(bb), dm1 - 1).astype(jnp.int32)
-    fr = rr - r0
-    fg = gg - g0
-    fb = bb - b0
+    rr = jnp.clip(r, 0.0, 1.0).reshape(chunks, -1) * dm1
+    gg = jnp.clip(g, 0.0, 1.0).reshape(chunks, -1) * dm1
+    bb = jnp.clip(b, 0.0, 1.0).reshape(chunks, -1) * dm1
 
-    cell = (r0 * m + g0) * m + b0
-    fetched = jnp.take(cells, cell.reshape(-1, 1), axis=0).reshape(-1, 8, 3)
+    def one_chunk(args):
+        rr, gg, bb = args
+        r0 = jnp.minimum(jnp.floor(rr), dm1 - 1).astype(jnp.int32)
+        g0 = jnp.minimum(jnp.floor(gg), dm1 - 1).astype(jnp.int32)
+        b0 = jnp.minimum(jnp.floor(bb), dm1 - 1).astype(jnp.int32)
+        fr = rr - r0
+        fg = gg - g0
+        fb = bb - b0
+        cell = (r0 * m + g0) * m + b0
+        fetched = jnp.take(cells, cell.reshape(-1, 1), axis=0)
+        fetched = fetched.reshape(-1, 8, 3)
 
-    def at(i, j, k):
-        return fetched[:, (i << 2) | (j << 1) | k, :]
+        def at(i, j, k):
+            q = fetched[:, (i << 2) | (j << 1) | k, :]
+            return (q[:, 0], q[:, 1], q[:, 2])
 
-    c000 = at(0, 0, 0)
-    c111 = at(1, 1, 1)
+        c000 = at(0, 0, 0)
+        c111 = at(1, 1, 1)
+        c100 = at(1, 0, 0)
+        c110 = at(1, 1, 0)
+        c010 = at(0, 1, 0)
+        c011 = at(0, 1, 1)
+        c001 = at(0, 0, 1)
+        c101 = at(1, 0, 1)
 
-    # tetrahedron selection by ordering of (fr, fg, fb)
-    m = jnp.stack([fr, fg, fb], axis=-1)
+        def tet(c0, cA, cB, c1, f0, fA, fB):
+            return tuple(c0[c] * (1.0 - f0) + cA[c] * (f0 - fA)
+                         + cB[c] * (fA - fB) + c1[c] * fB
+                         for c in range(3))
 
-    # six cases; compute all six and select (branchless)
-    def tet(c0, cA, cB, c1, f0, fA, fB):
-        return (c0 * (1.0 - f0)[:, None] + cA * (f0 - fA)[:, None]
-                + cB * (fA - fB)[:, None] + c1 * fB[:, None])
+        t1 = tet(c000, c100, c110, c111, fr, fg, fb)  # r>=g>=b
+        t2 = tet(c000, c100, c101, c111, fr, fb, fg)  # r>=b>=g
+        t3 = tet(c000, c001, c101, c111, fb, fr, fg)  # b>r>=g
+        t4 = tet(c000, c001, c011, c111, fb, fg, fr)  # b>g>r
+        t5 = tet(c000, c010, c011, c111, fg, fb, fr)  # g>b>=r
+        t6 = tet(c000, c010, c110, c111, fg, fr, fb)  # g>r, r>=b
 
-    c100 = at(1, 0, 0)
-    c110 = at(1, 1, 0)
-    c010 = at(0, 1, 0)
-    c011 = at(0, 1, 1)
-    c001 = at(0, 0, 1)
-    c101 = at(1, 0, 1)
+        rge_g = fr >= fg
+        gge_b = fg >= fb
+        rge_b = fr >= fb
+        outs = []
+        for c in range(3):
+            o = jnp.where(rge_g & gge_b, t1[c],
+                jnp.where(rge_g & ~gge_b & rge_b, t2[c],
+                jnp.where(rge_g & ~gge_b & ~rge_b, t3[c],
+                jnp.where(~rge_g & ~gge_b, t4[c],
+                jnp.where(~rge_g & gge_b & ~rge_b, t5[c], t6[c])))))
+            outs.append(o)
+        return jnp.stack(outs)
 
-    t1 = tet(c000, c100, c110, c111, fr, fg, fb)  # r>=g>=b
-    t2 = tet(c000, c100, c101, c111, fr, fb, fg)  # r>=b>=g
-    t3 = tet(c000, c001, c101, c111, fb, fr, fg)  # b>r>=g
-    t4 = tet(c000, c001, c011, c111, fb, fg, fr)  # b>g>r
-    t5 = tet(c000, c010, c011, c111, fg, fb, fr)  # g>=b, b>r ... g>b>=r
-    t6 = tet(c000, c010, c110, c111, fg, fr, fb)  # g>r, r>=b
+    import jax
 
-    rge_g = fr >= fg
-    gge_b = fg >= fb
-    rge_b = fr >= fb
-    out = jnp.where((rge_g & gge_b)[:, None], t1,
-          jnp.where((rge_g & ~gge_b & rge_b)[:, None], t2,
-          jnp.where((rge_g & ~gge_b & ~rge_b)[:, None], t3,
-          jnp.where((~rge_g & ~gge_b)[:, None], t4,
-          jnp.where((~rge_g & gge_b & ~rge_b)[:, None], t5, t6)))))
-    out = out.reshape(shape + (3,))
-    return out[..., 0], out[..., 1], out[..., 2]
+    if chunks > 1:
+        out = jax.lax.map(one_chunk, (rr, gg, bb))  # (chunks, 3, Pc)
+        out = jnp.moveaxis(out, 1, 0).reshape(3, -1)
+    else:
+        out = one_chunk((rr[0], gg[0], bb[0]))
+    return (out[0].reshape(shape), out[1].reshape(shape),
+            out[2].reshape(shape))

@@ -81,3 +81,26 @@ def xtrans_color_index(pattern6x6, shape):
     pat = np.asarray(pattern6x6, dtype=np.int32).reshape(6, 6)
     h, w = shape
     return pat[np.arange(h)[:, None] % 6, np.arange(w)[None, :] % 6]
+
+
+def xtrans_color_index_device(pattern, shape, dy=0, dx=0):
+    """Device-side 6x6 pattern lookup from iota coordinates.
+
+    Host-numpy masks at 24MP become 94MB program CONSTANTS (an X-Trans
+    program with ~17 of them serializes past the 2GB executable limit);
+    this builds the same color-index plane with in-graph selects.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = shape
+    pat = np.asarray(pattern, dtype=np.int64).reshape(6, 6)
+    ry = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) + dy) % 6
+    cx = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) + dx) % 6
+    out = jnp.zeros((h, w), jnp.int32)
+    for i in range(6):
+        for j in range(6):
+            v = int(pat[i, j])
+            if v:
+                out = jnp.where((ry == i) & (cx == j), v, out)
+    return out

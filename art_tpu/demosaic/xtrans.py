@@ -36,9 +36,11 @@ def _shift(x, dy, dx):
 
 
 def fast_xtrans(cfa, xtrans_pattern):
+    from art_tpu.core.image import xtrans_color_index_device
+
     h, w = cfa.shape
-    cidx = xtrans_color_index(xtrans_pattern, (h, w))
-    masks = [jnp.asarray(cidx == c) for c in range(3)]
+    cidx = xtrans_color_index_device(xtrans_pattern, (h, w))
+    masks = [cidx == c for c in range(3)]
 
     sums = []
     for c in range(3):
@@ -51,15 +53,10 @@ def fast_xtrans(cfa, xtrans_pattern):
                     s = s + _shift(mc, dy, dx) * wgt
         sums.append(s)
 
-    # solitary green: left and right neighbors share a color (host masks)
-    pat = np.asarray(xtrans_pattern, dtype=np.int64).reshape(6, 6)
-    ci = np.take(pat, np.arange(w)[None, :] % 6
-                 + 6 * (np.arange(h)[:, None] % 6))
-    left = np.take(pat, (np.arange(w)[None, :] - 1) % 6
-                   + 6 * (np.arange(h)[:, None] % 6))
-    right = np.take(pat, (np.arange(w)[None, :] + 1) % 6
-                    + 6 * (np.arange(h)[:, None] % 6))
-    solitary = jnp.asarray((ci == 1) & (left == right))
+    # solitary green: left and right neighbors share a color
+    left = xtrans_color_index_device(xtrans_pattern, (h, w), dx=-1)
+    right = xtrans_color_index_device(xtrans_pattern, (h, w), dx=1)
+    solitary = (cidx == 1) & (left == right)
 
     r = jnp.where(masks[0], cfa,
                   jnp.where(masks[1],
@@ -75,12 +72,13 @@ def fast_xtrans(cfa, xtrans_pattern):
     return jnp.stack([r, g, b])
 
 
-def _tiled_mask(pat66, shape, pred):
-    """Tile a 6x6 predicate over (h, w) -> np bool array."""
-    h, w = shape
-    m66 = pred(pat66)
-    return np.asarray(m66)[np.arange(h)[:, None] % 6,
-                           np.arange(w)[None, :] % 6]
+def _green_at(xtrans_pattern, shape, dy, dx):
+    """Device mask: the neighbor at (dy, dx) is green (iota lookup —
+    host-numpy masks become 94MB program constants at 24MP)."""
+    from art_tpu.core.image import xtrans_color_index_device
+
+    return xtrans_color_index_device(xtrans_pattern, shape,
+                                     dy=dy, dx=dx) == 1
 
 
 def _box3(x):
@@ -103,21 +101,18 @@ def _med3x3(x):
 
 def xtrans_directional(cfa, xtrans_pattern, passes=1):
     """Directional X-Trans demosaic for the Markesteijn-quality slots."""
+    from art_tpu.core.image import xtrans_color_index_device
+
     h, w = cfa.shape
-    pat = np.asarray(xtrans_pattern, dtype=np.int64).reshape(6, 6)
-    cidx = xtrans_color_index(xtrans_pattern, (h, w))
-    mr = jnp.asarray(cidx == 0)
-    mg = jnp.asarray(cidx == 1)
-    mb = jnp.asarray(cidx == 2)
+    cidx = xtrans_color_index_device(xtrans_pattern, (h, w))
+    mr = cidx == 0
+    mg = cidx == 1
+    mb = cidx == 2
 
-    def green_at(dy, dx):
-        return _tiled_mask(pat, (h, w),
-                           lambda p: np.roll(np.roll(p, -dy, 0), -dx, 1) == 1)
-
-    gl = jnp.asarray(green_at(0, -1))
-    gr = jnp.asarray(green_at(0, 1))
-    gu = jnp.asarray(green_at(-1, 0))
-    gd = jnp.asarray(green_at(1, 0))
+    gl = _green_at(xtrans_pattern, (h, w), 0, -1)
+    gr = _green_at(xtrans_pattern, (h, w), 0, 1)
+    gu = _green_at(xtrans_pattern, (h, w), -1, 0)
+    gd = _green_at(xtrans_pattern, (h, w), 1, 0)
 
     x = cfa
     r = 3

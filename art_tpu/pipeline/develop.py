@@ -501,11 +501,11 @@ def _build_run(config: PipelineConfig):
                     inp = apply_flatfield_bayer(inp, data["ff_plane"],
                                                 bt, rad)
                 elif config.xtrans is not None:
-                    from art_tpu.core.image import xtrans_color_index
+                    from art_tpu.core.image import xtrans_color_index_device
                     from art_tpu.raw.dfff import apply_flatfield_xtrans
 
-                    cidx = jnp.asarray(xtrans_color_index(
-                        config.xtrans, inp.shape))
+                    cidx = xtrans_color_index_device(
+                        config.xtrans, inp.shape)
                     inp = apply_flatfield_xtrans(inp, data["ff_plane"],
                                                  cidx, bt, rad)
             cfa = rawpre.apply_scale(inp, data["raw_offset"],
