@@ -53,6 +53,23 @@ def bayer_channel_masks(pattern: str, shape, xp=jnp):
     """
     assert pattern in BAYER_PATTERNS, pattern
     h, w = shape
+    if xp is not np:
+        # build from iota on device: host-numpy masks bake into the
+        # program as full-size constants (94MB each at 24MP)
+        import jax
+
+        rp = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 2
+        cp = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % 2
+        idx2d = rp * 2 + cp
+        out = []
+        for color in "RGB":
+            m = None
+            for pos, c in enumerate(pattern):
+                if c == color:
+                    e = idx2d == pos
+                    m = e if m is None else (m | e)
+            out.append(m)
+        return tuple(out)
     rows = np.arange(h) % 2
     cols = np.arange(w) % 2
     idx2 = rows[:, None] * 2 + cols[None, :]  # 0..3 position in the 2x2 tile

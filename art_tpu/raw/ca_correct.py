@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.ndimage import map_coordinates
 
 from art_tpu.core.image import bayer_color_index
 
@@ -65,15 +64,25 @@ def _estimate_radial(sub_c, sub_g, n_blocks=8):
     return jnp.clip(c, -0.01, 0.01)
 
 
+def _axis_matrix(n, scale, dtype):
+    """Bilinear 1-D resample matrix M with M[i, j] = w(src_i - j),
+    src_i = (i - c)(1 + scale) + c — the radial scale is axis-separable,
+    so the resample becomes two MXU matmuls instead of a 24MP
+    map_coordinates gather (~1.1s at 24MP on v5e)."""
+    c = (n - 1) / 2.0
+    i = jnp.arange(n, dtype=dtype)
+    src = (i - c) * (1.0 + scale) + c
+    src = jnp.clip(src, 0.0, n - 1.0)
+    j = jnp.arange(n, dtype=dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - j[None, :]))
+
+
 def _resample_radial(sub, scale):
     h, w = sub.shape
-    yc = (h - 1) / 2.0
-    xc = (w - 1) / 2.0
-    yy = jnp.arange(h, dtype=sub.dtype)[:, None] * jnp.ones((1, w), sub.dtype)
-    xx = jnp.arange(w, dtype=sub.dtype)[None, :] * jnp.ones((h, 1), sub.dtype)
-    sy = (yy - yc) * (1.0 + scale) + yc
-    sx = (xx - xc) * (1.0 + scale) + xc
-    return map_coordinates(sub, [sy, sx], order=1, mode="nearest")
+    ry = _axis_matrix(h, scale, sub.dtype)
+    cx = _axis_matrix(w, scale, sub.dtype)
+    tmp = jnp.dot(ry, sub, precision="highest")
+    return jnp.dot(tmp, cx.T, precision="highest")
 
 
 def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
@@ -83,20 +92,18 @@ def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
     by, bx = _subgrid_offsets(pattern, 2)
     g1y, g1x = _subgrid_offsets(pattern, 1)
 
-    sub_r = cfa[ry::2, rx::2]
-    sub_b = cfa[by::2, bx::2]
-    # G reference on the R subgrid positions: average of H/V G neighbors
-    gplane = jnp.pad(cfa, 1, mode="reflect")
-
-    def g_at(y0, x0):
-        left = gplane[1 + y0 : 1 + y0 + h : 2, x0 : x0 + w : 2]
-        right = gplane[1 + y0 : 1 + y0 + h : 2, 2 + x0 : 2 + x0 + w : 2]
-        up = gplane[y0 : y0 + h : 2, 1 + x0 : 1 + x0 + w : 2]
-        down = gplane[2 + y0 : 2 + y0 + h : 2, 1 + x0 : 1 + x0 + w : 2]
-        return 0.25 * (left + right + up + down)
-
-    g_r = g_at(ry, rx)
-    g_b = g_at(by, bx)
+    # subgrid extraction through a (H/2, 2, W/2, 2) view: stride-2 24MP
+    # slices cost ~50ms each on TPU, static small-dim indexing is free
+    view = cfa.reshape(h // 2, 2, w // 2, 2)
+    sub_r = view[:, ry, :, rx]
+    sub_b = view[:, by, :, bx]
+    # G reference at R/B positions: full-plane cardinal average (rolls),
+    # then the same cheap subsample
+    gavg = 0.25 * (jnp.roll(cfa, 1, axis=1) + jnp.roll(cfa, -1, axis=1)
+                   + jnp.roll(cfa, 1, axis=0) + jnp.roll(cfa, -1, axis=0))
+    gview = gavg.reshape(h // 2, 2, w // 2, 2)
+    g_r = gview[:, ry, :, rx]
+    g_b = gview[:, by, :, bx]
 
     if auto:
         scale_r = _estimate_radial(sub_r, g_r)
@@ -108,7 +115,9 @@ def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
     new_r = _resample_radial(sub_r, scale_r)
     new_b = _resample_radial(sub_b, scale_b)
 
-    out = cfa
-    out = out.at[ry::2, rx::2].set(new_r)
-    out = out.at[by::2, bx::2].set(new_b)
-    return out
+    # interleave through a (H/2, 2, W/2, 2) view: strided 24MP scatters
+    # (.at[::2, ::2].set) lower to the slow scatter path on TPU
+    v = cfa.reshape(h // 2, 2, w // 2, 2)
+    v = v.at[:, ry, :, rx].set(new_r)
+    v = v.at[:, by, :, bx].set(new_b)
+    return v.reshape(h, w)
