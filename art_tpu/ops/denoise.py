@@ -70,8 +70,15 @@ def _wavelet_denoise_plane(x, strength, detail_blend=0.0):
     from art_tpu.ops.wavelet_pallas import wavelet_denoise_pallas
 
     # Pallas path: full decompose/shrink/reconstruct on VMEM halo windows;
-    # only the global MAD sigma (finest detail) is computed out here
-    fine = x - _sep_blur(x, _B3, 1)
+    # only the global MAD sigma (finest detail) is computed out here —
+    # on a center crop: the estimate is statistical, the full-plane
+    # prelude cost ~12ms across the three planes
+    h, w = x.shape
+    cs_ = min(1024, h, w)
+    y0 = (h - cs_) // 2
+    x0 = (w - cs_) // 2
+    crop = x[y0 : y0 + cs_, x0 : x0 + cs_]
+    fine = crop - _sep_blur(crop, _B3, 1)
     sigma = mad_sigma(fine)
     out = wavelet_denoise_pallas(x, sigma, strength, detail_blend)
     if out is not None:
