@@ -15,7 +15,6 @@ import sys
 import time
 
 from art_tpu.params import KeyFile, ProcParams
-from art_tpu.params.procparams import PP_VERSION
 
 
 def _usage():

@@ -94,8 +94,6 @@ def load_dcp(path) -> DCPProfile:
     dims = get(50937)
     if dims and len(dims) == 3:
         p.hsm_dims = tuple(int(d) for d in dims)
-        import struct as _s
-
         for tag, attr in ((50938, "hsm_data_1"), (50939, "hsm_data_2")):
             if tag in ents:
                 typ, cnt, doff = ents[tag]

@@ -24,7 +24,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from art_tpu.core.image import xtrans_color_index
 
 _W33 = ((0.25, 0.5, 0.25), (0.5, 0.0, 0.5), (0.25, 0.5, 0.25))
 

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from art_tpu.color import colorspaces as cs
-from art_tpu.ops.filters import gauss_blur
 
 NLEVELS = 7
 DETAIL_LEVEL = 3

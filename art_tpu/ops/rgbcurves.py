@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from art_tpu.core.curve1d import eval_curve, fit_curve, fit_curves
+from art_tpu.core.curve1d import eval_curve, fit_curves
 from art_tpu.ops.tonecurve import adjust_user_curve
 
 
