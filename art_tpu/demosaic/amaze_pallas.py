@@ -9,14 +9,17 @@ is smallest (amaze.py stage functions):
   K2  x, vcd, hcd, hvwt -> green, hvwt'          (stages 5-6, reach ~13)
   K3  x, green, hvwt'   -> rgb                   (stages 7-8, reach ~11)
 
-Each kernel walks TILE x TILE output tiles; inputs stay in HBM
+Each kernel walks TILE_Y x TILE_X output tiles; inputs stay in HBM
 (`pl.ANY`) and are windowed with async copies into VMEM scratch
-(window = (TILE+2*PAD_Y, TILE+2*PAD_X), lane-aligned). HBM traffic is
-~13 plane passes total (vs. hundreds of materialized roll-shift planes on
-the whole-plane XLA path). Intermediates are re-padded (reflect) between
-kernels so every window read stays in bounds; the reflected halo only
-perturbs the outer HALO ring, which amaze_demosaic's RCD border fallback
-overwrites anyway.
+(window = (TILE_Y+2*PAD_Y, TILE_X+2*PAD_X)).
+
+Intermediates are written (via explicit VMEM->HBM DMA) into buffers that
+carry a PAD ring, stacked as one (n, H+2*PAD_Y, W+2*PAD_X) array per
+kernel, so the next kernel's halo windows read them directly — no
+materialized `jnp.pad` between kernels. The ring itself stays
+uninitialized; it only influences outputs within the stencil reach of the
+image boundary, which the RCD border fallback overwrites (amaze dispatch,
+reference border_interpolate2 demosaic_algos.cc:200).
 """
 
 from __future__ import annotations
@@ -31,10 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 from art_tpu.core.image import BAYER_PATTERNS
 from art_tpu.demosaic.amaze import _stages_1to4, _stages_5to6, _stages_7to8
 
-TILE = 256   # 256 beats 128 by ~20% at 24MP (fewer grid programs); 512
-             # exceeds VMEM with the K1 live set
+TILE_Y = 256  # rectangular tiles: wide cols cut the halo compute overhead
+TILE_X = 1024
 PAD_Y = 16   # row halo (sublane-aligned; max stage reach is ~13)
-PAD_X = 64   # col halo (window width 384 = 3 lanes)
+PAD_X = 128  # col halo: DMA writes into the pad-ringed buffers must be
+             # lane-aligned (Mosaic: tile index divisible by 128)
 
 
 def _parity_masks(pattern, shape):
@@ -54,37 +58,52 @@ def _parity_masks(pattern, shape):
     return tuple(masks)
 
 
-def _stage_call(stage, n_in, n_out, pattern, shape, dtype, interpret,
-                vmem_mb=96):
+def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
+                vmem_mb=100, final=False):
     """Build a halo-window pallas_call for one stage function.
 
-    Inputs: clips SMEM array + n_in HBM planes (padded by PAD_Y/PAD_X).
-    Outputs: n_out (H, W) planes (K3 outputs one (3, H, W) stack).
+    Inputs: clips SMEM array + len(in_planes) HBM buffers; in_planes[k] is
+    the plane count of buffer k (a (n, H+2PY, W+2PX) stack, or (H+2PY,
+    W+2PX) when 1). Output: one padded (n_out, H+2PY, W+2PX) stack written
+    by DMA — or, when `final`, a (3, H, W) VMEM-blocked array.
     """
     h, w = shape
-    grid = (h // TILE, w // TILE)
-    wy, wx = TILE + 2 * PAD_Y, TILE + 2 * PAD_X
+    grid = (h // TILE_Y, w // TILE_X)
+    wy, wx = TILE_Y + 2 * PAD_Y, TILE_X + 2 * PAD_X
+    n_in = len(in_planes)
 
     def kernel(clips_ref, *refs):
         ins = refs[:n_in]
-        outs = refs[n_in : n_in + n_out]
-        wins = refs[n_in + n_out : n_in + n_out + n_in]
-        sem = refs[-1]
+        out = refs[n_in]
+        wins = refs[n_in + 1 : n_in + 1 + n_in]
+        if final:
+            sem = refs[-1]
+            ostage = None
+        else:
+            ostage = refs[-2]
+            sem = refs[-1]
         i = pl.program_id(0)
         j = pl.program_id(1)
         for k in range(n_in):
-            copy = pltpu.make_async_copy(
-                ins[k].at[pl.ds(i * TILE, wy), pl.ds(j * TILE, wx)],
-                wins[k], sem)
+            src = ins[k]
+            if in_planes[k] > 1:
+                src = src.at[:, pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)]
+            else:
+                src = src.at[pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)]
+            copy = pltpu.make_async_copy(src, wins[k], sem)
             copy.start()
             copy.wait()
-        planes = [wn[:] for wn in wins]
+        planes = []
+        for k in range(n_in):
+            if in_planes[k] > 1:
+                planes.extend(wins[k][c] for c in range(in_planes[k]))
+            else:
+                planes.append(wins[k][:])
         mr, mg, mb = _parity_masks(pattern, (wy, wx))
         clip_pt = clips_ref[0, 0]
         clip_pt8 = clips_ref[0, 1]
         if stage == 1:
-            x = planes[0]
-            res = _stages_1to4(x, mg, clip_pt, clip_pt8)
+            res = _stages_1to4(planes[0], mg, clip_pt, clip_pt8)
         elif stage == 2:
             x, vcd, hcd, hvwt = planes
             res = _stages_5to6(x, mg, vcd, hcd, hvwt)
@@ -92,22 +111,39 @@ def _stage_call(stage, n_in, n_out, pattern, shape, dtype, interpret,
             x, green, hvwt = planes
             rgb = _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt)
             res = (rgb,)
-        for out_ref, val in zip(outs, res):
-            if val.ndim == 3:
-                out_ref[:] = val[:, PAD_Y : PAD_Y + TILE,
-                                 PAD_X : PAD_X + TILE]
-            else:
-                out_ref[:] = val[PAD_Y : PAD_Y + TILE, PAD_X : PAD_X + TILE]
+        if final:
+            out[:] = res[0][:, PAD_Y : PAD_Y + TILE_Y,
+                            PAD_X : PAD_X + TILE_X]
+        else:
+            for c, val in enumerate(res):
+                ostage[c] = val[PAD_Y : PAD_Y + TILE_Y,
+                                PAD_X : PAD_X + TILE_X]
+            wr = pltpu.make_async_copy(
+                ostage,
+                out.at[:, pl.ds(i * TILE_Y + PAD_Y, TILE_Y),
+                       pl.ds(j * TILE_X + PAD_X, TILE_X)],
+                sem)
+            wr.start()
+            wr.wait()
 
-    if stage == 3:
-        out_shape = [jax.ShapeDtypeStruct((3, h, w), dtype)]
-        out_specs = [pl.BlockSpec((3, TILE, TILE), lambda i, j: (0, i, j),
-                                  memory_space=pltpu.VMEM)]
+    win_scratch = [
+        pltpu.VMEM((n, wy, wx) if n > 1 else (wy, wx), jnp.float32)
+        for n in in_planes
+    ]
+    if final:
+        out_shape = jax.ShapeDtypeStruct((3, h, w), dtype)
+        out_specs = pl.BlockSpec((3, TILE_Y, TILE_X),
+                                 lambda i, j: (0, i, j),
+                                 memory_space=pltpu.VMEM)
+        scratch = win_scratch + [pltpu.SemaphoreType.DMA]
     else:
-        out_shape = [jax.ShapeDtypeStruct((h, w), dtype)
-                     for _ in range(n_out)]
-        out_specs = [pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
-                                  memory_space=pltpu.VMEM)] * n_out
+        out_shape = jax.ShapeDtypeStruct(
+            (n_out, h + 2 * PAD_Y, w + 2 * PAD_X), dtype)
+        out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = win_scratch + [
+            pltpu.VMEM((n_out, TILE_Y, TILE_X), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
 
     return pl.pallas_call(
         kernel,
@@ -116,9 +152,7 @@ def _stage_call(stage, n_in, n_out, pattern, shape, dtype, interpret,
         + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((wy, wx), jnp.float32)
-                        for _ in range(n_in)]
-        + [pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_mb * 1024 * 1024),
         interpret=interpret,
@@ -138,11 +172,9 @@ def _run(cfa, pattern, clip_pt, clip_pt8, interpret=False):
     mk = functools.partial(_stage_call, pattern=pattern, shape=(h, w),
                            dtype=x.dtype, interpret=interpret)
     xp = _padh(x)
-    vcd, hcd, hvwt = mk(1, 1, 3)(clips, xp)
-    green, hvwt2 = mk(2, 4, 2)(clips, xp, _padh(vcd), _padh(hcd),
-                               _padh(hvwt))
-    # _stages_7to8 already returns the 0..65535 clamped stack
-    (rgb,) = mk(3, 3, 1)(clips, xp, _padh(green), _padh(hvwt2))
+    s1 = mk(1, [1], 3)(clips, xp)          # (3, hp, wp): vcd, hcd, hvwt
+    s2 = mk(2, [1, 3], 2)(clips, xp, s1)   # (2, hp, wp): green, hvwt'
+    rgb = mk(3, [1, 2], 1, final=True)(clips, xp, s2)
     return rgb
 
 
@@ -151,10 +183,10 @@ def amaze_pallas(cfa, pattern, clip_pt, clip_pt8):
     if pattern not in BAYER_PATTERNS:
         return None
     h, w = cfa.shape
-    if h < 2 * TILE or w < 2 * TILE:
+    if h < 2 * TILE_Y or w < 2 * TILE_X:
         return None  # small images: whole-plane XLA path is fine
-    ph = (-h) % TILE
-    pw = (-w) % TILE
+    ph = (-h) % TILE_Y
+    pw = (-w) % TILE_X
     x = cfa
     if ph or pw:
         # even pad keeps the Bayer parity of the reflected content aligned

@@ -7,36 +7,34 @@ Modes (ExposureParams::HR_*):
   offset estimated from near-clip pixels; masks dilated 3x3.
 - "blend" (HR_BLEND): HLRecovery_blend luminance blending (applied after
   demosaic in getImage).
-The iterative multi-scale inpaint (HR_COLOR) falls back to opposed for now.
+- "inpaint" (HR_COLOR): HLRecovery_inpaint (hilite_recon.cc:299) — see
+  raw/hilite_inpaint.py.
 
 Runs after demosaic on the WB-scaled RGB planes, whole-plane.
+
+TPU notes: 3x3 stencils go through lax.reduce_window (one fused pass over
+the (3,H,W) stack); cube/cbrt avoid the generic pow lowering.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 HL_POWER = 3.0
 
 
-def _dilate3(m):
-    p = jnp.pad(m, 1, mode="constant")
-    h, w = m.shape
-    out = jnp.zeros_like(m)
-    for dy in range(3):
-        for dx in range(3):
-            out = jnp.maximum(out, p[dy : dy + h, dx : dx + w])
-    return out
-
-
-def _box3_mean(x):
-    p = jnp.pad(jnp.maximum(x, 0.0), 1, mode="edge")
-    h, w = x.shape
-    s = jnp.zeros_like(x)
-    for dy in range(3):
-        for dx in range(3):
-            s = s + p[dy : dy + h, dx : dx + w]
+def _box3_mean3(x3):
+    """3x3 box mean over each plane of a (3,H,W) stack (edge-clamped)."""
+    p = jnp.pad(jnp.maximum(x3, 0.0), ((0, 0), (1, 1), (1, 1)), mode="edge")
+    s = lax.reduce_window(p, 0.0, lax.add, (1, 3, 3), (1, 1, 1), "VALID")
     return s / 9.0
+
+
+def _dilate3_mask(m3):
+    """3x3 max (dilate) over each plane of a (3,H,W) boolean stack."""
+    return lax.reduce_window(m3, False, lax.bitwise_or, (1, 3, 3),
+                             (1, 1, 1), "SAME")
 
 
 def recover_opposed(rgb, scale_mul3, wb_cam3):
@@ -51,21 +49,21 @@ def recover_opposed(rgb, scale_mul3, wb_cam3):
 
     x = rgb * scalecoeffs[:, None, None]
 
-    means = jnp.stack([_box3_mean(x[c]) for c in range(3)])
-    croot = jnp.power(jnp.maximum(means, 0.0), 1.0 / HL_POWER)
+    means = _box3_mean3(x)
+    croot = jnp.cbrt(jnp.maximum(means, 0.0))
     croot_refavg = jnp.stack([
         0.5 * (croot[1] + croot[2]),
         0.5 * (croot[0] + croot[2]),
         0.5 * (croot[0] + croot[1]),
     ])
-    est = jnp.power(croot_refavg, HL_POWER)
+    est = croot_refavg * croot_refavg * croot_refavg
 
     clipped = x >= clips[:, None, None]
-    mask = jnp.stack([_dilate3(clipped[c].astype(x.dtype)) for c in range(3)])
+    mask = _dilate3_mask(clipped)
 
     # global chrominance offset from near-clip pixels inside the dilated mask
     inval = jnp.maximum(x, 0.0)
-    sel = (mask > 0) & (inval > clipdark[:, None, None]) & (
+    sel = mask & (inval > clipdark[:, None, None]) & (
         inval < clips[:, None, None])
     cr_sum = jnp.sum(jnp.where(sel, inval - est, 0.0), axis=(1, 2))
     cr_cnt = jnp.maximum(jnp.sum(sel, axis=(1, 2)), 1)

@@ -83,6 +83,12 @@ def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
     reps = -(-wpad // tw)
     offset_rows = np.tile(offset_tile, (1, reps))[:, :wpad]
     scale_rows = np.tile(scale_tile, (1, reps))[:, :wpad]
+    # pad the row period up to a multiple of the f32 sublane count (8): the
+    # device reshape (H,W)->(H/th,th,W) is then a pure bitcast (rows group
+    # exactly into sublane tiles) instead of a 4x-padded relayout
+    vreps = int(np.lcm(th, 8)) // th
+    offset_rows = np.tile(offset_rows, (vreps, 1))
+    scale_rows = np.tile(scale_rows, (vreps, 1))
     return {
         "offset_tile": offset_rows,
         "scale_tile": scale_rows,
