@@ -65,34 +65,47 @@ def plan(pp, ctx):
             bool(dn.aggressive)), data
 
 
-def _wavelet_denoise_plane(x, strength, detail_blend=0.0):
-    from art_tpu.ops.wavelet import _sep_blur, _B3
-    from art_tpu.ops.wavelet_pallas import wavelet_denoise_pallas
+def _mad_sigma_crop(x):
+    """Global MAD sigma (finest à trous detail) on a center crop.
 
-    # Pallas path: full decompose/shrink/reconstruct on VMEM halo windows;
-    # only the global MAD sigma (finest detail) is computed out here —
-    # on a center crop: the estimate is statistical, the full-plane
-    # prelude cost ~12ms across the three planes
-    h, w = x.shape
+    The estimate is statistical — a 1024px crop tracks the full-plane
+    value closely and skips ~12ms of full-plane prelude per image."""
+    from art_tpu.ops.wavelet import _sep_blur, _B3
+
+    h, w = x.shape[-2:]
     cs_ = min(1024, h, w)
     y0 = (h - cs_) // 2
     x0 = (w - cs_) // 2
-    crop = x[y0 : y0 + cs_, x0 : x0 + cs_]
+    crop = x[..., y0 : y0 + cs_, x0 : x0 + cs_]
     fine = crop - _sep_blur(crop, _B3, 1)
-    sigma = mad_sigma(fine)
-    out = wavelet_denoise_pallas(x, sigma, strength, detail_blend)
-    if out is not None:
-        return out
+    return mad_sigma(fine)
 
-    details, resid = atrous_decompose(x, LEVELS)
-    out_details = []
-    for lv, d in enumerate(details):
-        # noise shrinks by ~2 per coarser à trous level (B3 kernel norm)
-        lv_sigma = sigma / (2.0 ** lv)
-        dd = shrink_sure_like(d, lv_sigma, strength)
-        dd = dd + (d - dd) * detail_blend
-        out_details.append(dd)
-    return atrous_reconstruct(out_details, resid)
+
+def _wavelet_denoise_planes(planes, strengths, blends):
+    """Denoise a list of (H, W) planes (one fused Pallas dispatch)."""
+    from art_tpu.ops.wavelet_pallas import wavelet_denoise_pallas_multi
+
+    sigmas = [_mad_sigma_crop(p) for p in planes]
+    out = wavelet_denoise_pallas_multi(
+        jnp.stack(planes), jnp.stack(sigmas),
+        jnp.stack([jnp.asarray(s, jnp.float32) for s in strengths]),
+        jnp.stack([jnp.asarray(b, jnp.float32) for b in blends]))
+    if out is not None:
+        return [out[c] for c in range(len(planes))]
+
+    res = []
+    for x, sigma, strength, detail_blend in zip(planes, sigmas, strengths,
+                                                blends):
+        details, resid = atrous_decompose(x, LEVELS)
+        out_details = []
+        for lv, d in enumerate(details):
+            # noise shrinks by ~2 per coarser à trous level (B3 norm)
+            lv_sigma = sigma / (2.0 ** lv)
+            dd = shrink_sure_like(d, lv_sigma, strength)
+            dd = dd + (d - dd) * detail_blend
+            out_details.append(dd)
+        res.append(atrous_reconstruct(out_details, resid))
+    return res
 
 
 def _nlmeans(y, h2_base, detail, search_radius=5, patch_radius=2):
@@ -146,13 +159,14 @@ def apply(rgb, data, static):
 
     y, u, v = rgb_to_yuv(xn, lw)
 
-    if do_lum:
-        y = _wavelet_denoise_plane(y, data["lum_strength"],
-                                   data["lum_detail"])
     cb = data["chroma"] + data["chroma_by"]
     cr = data["chroma"] + data["chroma_rg"]
-    u = _wavelet_denoise_plane(u, cb)
-    v = _wavelet_denoise_plane(v, cr)
+    if do_lum:
+        y, u, v = _wavelet_denoise_planes(
+            [y, u, v], [data["lum_strength"], cb, cr],
+            [data["lum_detail"], 0.0, 0.0])
+    else:
+        u, v = _wavelet_denoise_planes([u, v], [cb, cr], [0.0, 0.0])
 
     if guided > 0:
         gs = data["guided_strength"]

@@ -1,4 +1,4 @@
-"""Wavelet denoise of one plane as a single Pallas TPU kernel.
+"""Wavelet denoise as a single Pallas TPU kernel (1 or 3 planes).
 
 The XLA path streams every à trous level's shifted planes through HBM
 (~22ms per 24MP plane even after fixes). Here the full 5-level B3
@@ -6,12 +6,18 @@ decompose -> per-level shrink -> reconstruct chain runs on one VMEM halo
 window per tile: HBM traffic is one read + one write of the plane.
 
 The noise sigma is a global statistic (MAD of the finest detail level),
-so it is estimated OUTSIDE the kernel on a subsampled plane and passed
-in via SMEM — same two-phase structure as the reference's per-tile
-Mad() statistics feeding its shrinkage loops (FTblockDN.cc).
+so it is estimated OUTSIDE the kernel on a center crop and passed in via
+SMEM — same two-phase structure as the reference's per-tile Mad()
+statistics feeding its shrinkage loops (FTblockDN.cc).
+
+The multi-plane entry denoises the stacked (C, H, W) planes in one
+pallas_call (grid leads with the plane index; per-plane sigma/strength/
+detail rows in SMEM) — one dispatch for Y, U, V instead of three.
 
 Halo: each level lv smooths with taps at +-2*2^lv; cumulative reach for
 5 levels is 62 (+1 for the shrink energy window) -> 64-pixel halo.
+Tiles are rectangular (256x1024): the wide lane dimension cuts the
+window/tile compute overhead from 2.25x (256^2) to 1.69x.
 """
 
 from __future__ import annotations
@@ -25,7 +31,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from art_tpu.ops.wavelet import _B3
 
-TILE = 256
+TILE_Y = 256
+TILE_X = 1024
 PAD = 64
 LEVELS = 5
 
@@ -62,18 +69,19 @@ def _shrink(d, t2, detail_blend):
 
 
 def _kernel(sc_ref, x_hbm, out_ref, win, sem):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    wy = TILE + 2 * PAD
-    wx = TILE + 2 * PAD
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    wy = TILE_Y + 2 * PAD
+    wx = TILE_X + 2 * PAD
     copy = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * TILE, wy), pl.ds(j * TILE, wx)], win, sem)
+        x_hbm.at[c, pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)], win, sem)
     copy.start()
     copy.wait()
     x = win[:]
-    sigma = sc_ref[0, 0]
-    strength = sc_ref[0, 1]
-    detail_blend = sc_ref[0, 2]
+    sigma = sc_ref[c, 0]
+    strength = sc_ref[c, 1]
+    detail_blend = sc_ref[c, 2]
     out = jnp.zeros_like(x)
     cur = x
     for lv in range(LEVELS):
@@ -83,27 +91,27 @@ def _kernel(sc_ref, x_hbm, out_ref, win, sem):
         out = out + _shrink(d, t2, detail_blend)
         cur = smooth
     out = out + cur  # residual
-    out_ref[:] = out[PAD : PAD + TILE, PAD : PAD + TILE]
+    out_ref[0] = out[PAD : PAD + TILE_Y, PAD : PAD + TILE_X]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(x, sigma, strength, detail_blend, interpret=False):
-    h, w = x.shape
-    grid = (h // TILE, w // TILE)
-    wy = TILE + 2 * PAD
-    xp = jnp.pad(x, PAD, mode="reflect")
-    sc = jnp.stack([jnp.asarray(sigma, jnp.float32),
-                    jnp.asarray(strength, jnp.float32),
-                    jnp.asarray(detail_blend, jnp.float32)]).reshape(1, 3)
+def _run(x3, sc, interpret=False):
+    """x3: (C, H, W) planes; sc: (C, 3) [sigma, strength, detail] rows."""
+    n, h, w = x3.shape
+    grid = (n, h // TILE_Y, w // TILE_X)
+    wy = TILE_Y + 2 * PAD
+    wx = TILE_X + 2 * PAD
+    xp = jnp.pad(x3, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
     return pl.pallas_call(
         _kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, TILE_Y, TILE_X),
+                               lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, w), x.dtype),
-        scratch_shapes=[pltpu.VMEM((wy, wy), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, h, w), x3.dtype),
+        scratch_shapes=[pltpu.VMEM((wy, wx), jnp.float32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
@@ -111,17 +119,34 @@ def _run(x, sigma, strength, detail_blend, interpret=False):
     )(sc, xp)
 
 
+def _pad_to_tiles(x3):
+    _, h, w = x3.shape
+    ph = (-h) % TILE_Y
+    pw = (-w) % TILE_X
+    if ph or pw:
+        x3 = jnp.pad(x3, ((0, 0), (0, ph), (0, pw)), mode="reflect")
+    return x3, ph, pw
+
+
+def wavelet_denoise_pallas_multi(x3, sigmas, strengths, blends):
+    """Denoise stacked (C, H, W) planes in one kernel; None if too small."""
+    n, h, w = x3.shape
+    if h < TILE_Y or w < TILE_X:
+        return None
+    xp, ph, pw = _pad_to_tiles(x3)
+    sc = jnp.stack([jnp.asarray(sigmas, jnp.float32),
+                    jnp.asarray(strengths, jnp.float32),
+                    jnp.asarray(blends, jnp.float32)], axis=1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = _run(xp, sc, interpret=interpret)
+    if ph or pw:
+        out = out[:, :h, :w]
+    return out
+
+
 def wavelet_denoise_pallas(x, sigma, strength, detail_blend=0.0):
     """Denoised plane, or None when too small to tile."""
-    h, w = x.shape
-    if h < TILE or w < TILE:
-        return None
-    ph = (-h) % TILE
-    pw = (-w) % TILE
-    if ph or pw:
-        x = jnp.pad(x, ((0, ph), (0, pw)), mode="reflect")
-    interpret = jax.default_backend() not in ("tpu", "axon")
-    out = _run(x, sigma, strength, detail_blend, interpret=interpret)
-    if ph or pw:
-        out = out[:h, :w]
-    return out
+    out = wavelet_denoise_pallas_multi(
+        x[None], jnp.asarray(sigma)[None], jnp.asarray(strength)[None],
+        jnp.asarray(detail_blend)[None])
+    return None if out is None else out[0]

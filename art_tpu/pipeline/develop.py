@@ -41,6 +41,10 @@ class PipelineConfig:
     # ordered tuple of (op_name, static_part, stage) for enabled ops;
     # stage 0 runs before crop, stages 1-3 after (improcfun.cc:575-639)
     steps: tuple = ()
+    # True = no coarse/transform/crop: stages 1-3 run on the padded planes
+    # (lane-aligned width — unaligned widths cost 3-5x on transcendentals)
+    # and the slice to true dims happens after the output transform
+    late_crop: bool = False
     crop: tuple | None = None  # (y0, x0, h, w) in true coords
     resize_to: tuple | None = None  # (out_h, out_w)
     prsharp: tuple | None = None  # post-resize sharpening static
@@ -397,6 +401,32 @@ def plan(frame, pp):
                 data["resize_rows"] = a_r
                 data["resize_cols"] = a_c
 
+    # late-crop path: with no geometry change, keep the lane-aligned padded
+    # planes through stages 1-3 and slice at the very end; (h,w)-shaped op
+    # data planes (masks etc.) are edge-padded to match
+    late_crop = (coarse == (0, False, False) and not do_transform
+                 and crop is None)
+    if late_crop:
+        def _pad_plane(a):
+            if (isinstance(a, np.ndarray) and a.ndim >= 2
+                    and a.shape[-2:] == (h, w)
+                    and a.shape[-2:] != tuple(shape)):
+                pad = [(0, 0)] * (a.ndim - 2) + [
+                    (0, shape[0] - h), (0, shape[1] - w)]
+                return np.pad(a, pad, mode="edge")
+            return a
+
+        def _pad_tree(obj):
+            if isinstance(obj, dict):
+                return {k: _pad_tree(v) for k, v in obj.items()}
+            if isinstance(obj, (list, tuple)):
+                return type(obj)(_pad_tree(v) for v in obj)
+            return _pad_plane(obj)
+
+        for name, _, stage in steps:
+            if stage > 0:
+                data[f"op:{name}"] = _pad_tree(data[f"op:{name}"])
+
     # post-resize sharpening (prsharpening, simpleprocess.cc:402-418)
     prsharp = None
     if resize_to is not None and pp.pr_sharpening.enabled:
@@ -427,6 +457,7 @@ def plan(frame, pp):
         shape=tuple(shape),
         orig_shape=(h, w),
         steps=tuple(steps),
+        late_crop=late_crop,
         crop=crop,
         resize_to=resize_to,
         prsharp=prsharp,
@@ -581,36 +612,43 @@ def _build_run(config: PipelineConfig):
                 rgb = mod.apply(rgb, data[f"op:{name}"], static)
 
         # coarse rotate/flip: orig_shape is post-rotation; recover the
-        # sensor shape, drop the pad margin, then rotate/flip
-        k, hflip, vflip = config.coarse
+        # sensor shape, drop the pad margin, then rotate/flip. In the
+        # late-crop path (no geometry change) the padded planes are kept
+        # through stages 1-3 — the slice to true dims happens at the end.
         h0r, w0r = config.orig_shape
-        sh, sw = (w0r, h0r) if k % 2 == 1 else (h0r, w0r)
-        rgb = rgb[:, :sh, :sw]
-        if k:
-            rgb = jnp.rot90(rgb, k=k, axes=(1, 2))
-        if hflip:
-            rgb = rgb[:, :, ::-1]
-        if vflip:
-            rgb = rgb[:, ::-1, :]
+        if not config.late_crop:
+            k, hflip, vflip = config.coarse
+            sh, sw = (w0r, h0r) if k % 2 == 1 else (h0r, w0r)
+            rgb = rgb[:, :sh, :sw]
+            if k:
+                rgb = jnp.rot90(rgb, k=k, axes=(1, 2))
+            if hflip:
+                rgb = rgb[:, :, ::-1]
+            if vflip:
+                rgb = rgb[:, ::-1, :]
 
-        if config.transform:
-            from art_tpu.pipeline.transform import apply_transform
+            if config.transform:
+                from art_tpu.pipeline.transform import apply_transform
 
-            rgb = apply_transform(rgb, data["transform"])
+                rgb = apply_transform(rgb, data["transform"])
 
-        # crop between STAGE_0 and STAGE_1 (stage_finish crop copy)
-        if config.crop is not None:
-            cy, cx, ch, cw = config.crop
-            rgb = rgb[:, cy : cy + ch, cx : cx + cw]
+            # crop between STAGE_0 and STAGE_1 (stage_finish crop copy)
+            if config.crop is not None:
+                cy, cx, ch, cw = config.crop
+                rgb = rgb[:, cy : cy + ch, cx : cx + cw]
 
         for name, static, stage in config.steps:
             if stage > 0:
                 mod = ops_pkg.get_op(name)
                 rgb = mod.apply(rgb, data[f"op:{name}"], static)
 
+        late = config.late_crop
         if config.resize_to is not None:
             from art_tpu.ops.resize import apply_resize
 
+            if late:
+                rgb = rgb[:, :h0r, :w0r]
+                late = False
             rgb = apply_resize(rgb, data["resize_rows"], data["resize_cols"])
             if config.prsharp is not None:
                 from art_tpu.ops import sharpen as sharpen_mod
@@ -622,6 +660,8 @@ def _build_run(config: PipelineConfig):
         rgb = _mat3(data["work2out"], rgb)
         rgb = jnp.clip(rgb / MAXVAL, 0.0, 1.0)
         rgb = cs.encode_trc(rgb, config.out_trc, jnp)
+        if late:
+            rgb = rgb[:, :h0r, :w0r]
         return rgb
 
     return run

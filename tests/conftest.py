@@ -30,3 +30,19 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# The XLA CPU compiler segfaults deterministically after a few hundred
+# in-process compilations (observed mid-suite in backend_compile_and_load;
+# every test passes when its module runs alone). Dropping the executable
+# caches between modules keeps the live-compilation footprint bounded.
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_between_modules(request):
+    mod = request.module.__name__
+    if _last_module[0] not in (None, mod):
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
