@@ -9,7 +9,10 @@ Functions are jnp-traceable (elementwise only).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from art_tpu.color import colorspaces as cs
 
@@ -18,19 +21,101 @@ _D50_TO_D65 = cs.D50_TO_D65.astype("float32")
 _D65_TO_D50 = cs.D65_TO_D50.astype("float32")
 
 
-def _pq(x):
+def _pq_exact(x):
     x = jnp.maximum(x, 1e-10)
     xx = jnp.power(x * 1e-4, 0.1593017578125)
     return jnp.power((0.8359375 + 18.8515625 * xx) / (1 + 18.6875 * xx),
                      134.034375)
 
 
-def _pq_inv(x):
+def _pq_inv_exact(x):
     x = jnp.maximum(x, 1e-10)
     xx = jnp.power(x, 7.460772656268214e-03)  # 1/134.034375
     num = jnp.maximum(xx - 0.8359375, 0.0)
     den = 18.8515625 - 18.6875 * xx
     return 1e4 * jnp.power(num / jnp.maximum(den, 1e-10), 6.277394636015326)
+
+
+# ---------------------------------------------------------------------------
+# Fast PQ: Chebyshev series on power-warped domains.
+#
+# jnp.power lowers to log+exp on the TPU VPU; the neutral tone curve alone
+# evaluates 9 plane-level PQ transfers, making pow the single largest VPU
+# cost of the default pipeline. Both transfers are fixed scalar curves, so
+# they are refit once on the host as Chebyshev series whose device cost is
+# a sqrt chain + an FMA recurrence (same trick as core.curve1d, but with
+# warps chosen to tame PQ's fractional-power endpoint singularity):
+#   forward:  t = (x/XMAX)^(1/32)  (5 sqrts) — the inner (x*1e-4)^0.1593
+#             becomes t^5.1, giving near-geometric convergence (deg 24
+#             reaches 4.3e-8 absolute on a 0.084 range — the f32 floor);
+#   inverse:  v = (y/YMAX)^(1/8)   (3 sqrts) — deg 20 reaches 1.9e-7
+#             absolute on the 0..4 output range (<< 1/65535 of scale).
+# Out-of-range inputs clamp to the fit domain (x>XMAX only occurs for
+# >4x-overrange highlights, where the appearance model feeds ratios).
+_PQ_XMAX = 4.0
+
+
+@functools.lru_cache(None)
+def _pq_fits():
+    def pq64(x):
+        x = np.maximum(x, 1e-12)
+        xx = (x * 1e-4) ** 0.1593017578125
+        return ((0.8359375 + 18.8515625 * xx)
+                / (1 + 18.6875 * xx)) ** 134.034375
+
+    def pq_inv64(y):
+        y = np.maximum(y, 1e-12)
+        xx = y ** (1.0 / 134.034375)
+        num = np.maximum(xx - 0.8359375, 0.0)
+        den = 18.8515625 - 18.6875 * xx
+        return 1e4 * (num / np.maximum(den, 1e-10)) ** 6.277394636015326
+
+    ymax = float(pq64(np.float64(_PQ_XMAX)))
+
+    def split_fit(f, deg_half):
+        # even/odd Horner split on t in [-1,1]: f(t) ~ P(t^2) + t*Q(t^2).
+        # Two half-degree Horner chains cost half the FMAs of Clenshaw and
+        # evaluate MORE accurately in f32 (shorter cancellation chains):
+        # fwd 11+11 -> 3.5e-7 abs, inv 9+9 -> 1.6e-6 abs (f64 oracle).
+        t = np.linspace(-1.0, 1.0, 40001)
+        y = f(t)
+        fe = 0.5 * (y + y[::-1])
+        fo = 0.5 * (y - y[::-1])
+        half = t > 0
+        a = np.vander(t[half] ** 2, deg_half + 1)
+        p, *_ = np.linalg.lstsq(a, fe[half], rcond=None)
+        q, *_ = np.linalg.lstsq(a, fo[half] / t[half], rcond=None)
+        return tuple(float(c) for c in p), tuple(float(c) for c in q)
+
+    pf, qf = split_fit(lambda t: pq64(_PQ_XMAX * ((t + 1) / 2) ** 32), 11)
+    pi, qi = split_fit(lambda t: pq_inv64(ymax * ((t + 1) / 2) ** 8), 9)
+    return pf, qf, pi, qi, ymax
+
+
+def _horner_split(t, p, q):
+    s = t * t
+    accp = jnp.full_like(t, p[0])
+    for c in p[1:]:
+        accp = accp * s + c
+    accq = jnp.full_like(t, q[0])
+    for c in q[1:]:
+        accq = accq * s + c
+    return accp + t * accq
+
+
+def _pq(x):
+    pf, qf, _, _, _ = _pq_fits()
+    t = jnp.clip(x * (1.0 / _PQ_XMAX), 0.0, 1.0)
+    for _ in range(5):  # t^(1/32)
+        t = jnp.sqrt(t)
+    return _horner_split(2.0 * t - 1.0, pf, qf)
+
+
+def _pq_inv(y):
+    _, _, pi, qi, ymax = _pq_fits()
+    v = jnp.clip(y * (1.0 / ymax), 0.0, 1.0)
+    v = jnp.sqrt(jnp.sqrt(jnp.sqrt(v)))  # v^(1/8)
+    return jnp.maximum(_horner_split(2.0 * v - 1.0, pi, qi), 0.0)
 
 
 def xyz_to_jzazbz(x, y, z):
@@ -62,6 +147,14 @@ def jzazbz_to_xyz(jz, az, bz):
     return (mm[0, 0] * x + mm[0, 1] * y + mm[0, 2] * z,
             mm[1, 0] * x + mm[1, 1] * y + mm[1, 2] * z,
             mm[2, 0] * x + mm[2, 1] * y + mm[2, 2] * z)
+
+
+def rgb_to_jzazbz_rgbin(r, g, b, ws):
+    """ws: (3,3) working RGB -> XYZ(D50). Returns cartesian (Jz, az, bz)."""
+    x = ws[0, 0] * r + ws[0, 1] * g + ws[0, 2] * b
+    y = ws[1, 0] * r + ws[1, 1] * g + ws[1, 2] * b
+    z = ws[2, 0] * r + ws[2, 1] * g + ws[2, 2] * b
+    return xyz_to_jzazbz(x, y, z)
 
 
 def rgb_to_jzczhz(r, g, b, ws):

@@ -74,6 +74,75 @@ def fit_fn(fn, in_max=1.0, samples=65536):
     return fit_curve(fn(x), in_max)
 
 
+def split_poly(fn_t, deg_half, tol=None):
+    """Fit fn(t), t in [-1,1], as the even/odd Horner split
+    f(t) ~ P(u) + t*Q(u) with u = 2*t^2 - 1, returned as a
+    (2, deg_half+1) array [P; Q] (highest power first). Two half-degree
+    Horner chains cost half the FMAs of Clenshaw and evaluate more
+    accurately in f32 (shorter cancellation chains). The fit runs in the
+    Chebyshev basis of u (well-conditioned) and converts the solution to
+    monomial form. Returns None if tol is given and the fit misses it."""
+    t = np.linspace(-1.0, 1.0, 40001)
+    y = np.asarray(fn_t(t), dtype=np.float64)
+    fe = 0.5 * (y + y[::-1])
+    fo = 0.5 * (y - y[::-1])
+    half = t > 0
+    u = 2.0 * t[half] ** 2 - 1.0
+    a = np.polynomial.chebyshev.chebvander(u, deg_half)
+    cp, *_ = np.linalg.lstsq(a, fe[half], rcond=None)
+    cq, *_ = np.linalg.lstsq(a, fo[half] / t[half], rcond=None)
+    p = np.polynomial.chebyshev.cheb2poly(cp)[::-1]  # highest first
+    q = np.polynomial.chebyshev.cheb2poly(cq)[::-1]
+    out = np.stack([p, q]).astype(np.float32)
+    if tol is not None:
+        uu = 2.0 * t * t - 1.0
+        approx = (np.polyval(out[0].astype(np.float64), uu)
+                  + t * np.polyval(out[1].astype(np.float64), uu))
+        if np.abs(approx - y).max() > tol:
+            return None
+    return out
+
+
+def fit_curve_split(dense_lut, deg_half=(10, 12, 14, 16), tol=CHEB_TOL):
+    """Fit a (N,) dense curve (uniform on [0,1]) as an even/odd Horner
+    split on the sqrt-warped domain t = 2*sqrt(x)-1 (same warp as
+    fit_curve). Returns (2, deg_half+1) or None for kinky curves."""
+    dense_lut = np.asarray(dense_lut, dtype=np.float64)
+    n = dense_lut.shape[0]
+
+    def fn_t(t):
+        x01 = ((t + 1.0) / 2.0) ** 2
+        idx = np.clip(x01, 0.0, 1.0) * (n - 1)
+        i0 = np.floor(idx).astype(np.int64)
+        i1 = np.minimum(i0 + 1, n - 1)
+        fr = idx - i0
+        return dense_lut[i0] * (1 - fr) + dense_lut[i1] * fr
+
+    if np.isscalar(deg_half):
+        deg_half = (deg_half,)
+    for dh in deg_half:
+        out = split_poly(fn_t, dh, tol=tol)
+        if out is not None:
+            return out
+    return None
+
+
+def eval_split(x, pq_coeffs, in_max=1.0, out_max=1.0):
+    """Evaluate a (2, K) split fit: t = 2*sqrt(x/in_max)-1, Horner in
+    u = 2*t^2-1."""
+    t = 2.0 * jnp.sqrt(jnp.clip(x / in_max, 0.0, 1.0)) - 1.0
+    u = 2.0 * t * t - 1.0
+    p = pq_coeffs[0]
+    q = pq_coeffs[1]
+    accp = jnp.full_like(t, p[0])
+    for c in p[1:]:
+        accp = accp * u + c
+    accq = jnp.full_like(t, q[0])
+    for c in q[1:]:
+        accq = accq * u + c
+    return (accp + t * accq) * out_max
+
+
 def eval_curve(x, coeffs, in_max=MAXVAL, out_max=MAXVAL):
     """Evaluate a fitted curve on device. x in [0, in_max] (clamped),
     output scaled by out_max (the fit maps [0,1]->[0,1] range semantics).
