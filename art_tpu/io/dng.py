@@ -24,13 +24,20 @@ def load_dng(path) -> RawFrame:
 
     cfa = meta["cfa_pattern"]
     pattern = None
-    if all(c in _CODE_TO_COLOR for c in cfa):
+    xtrans = meta.get("xtrans")
+    if xtrans is None and all(c in _CODE_TO_COLOR for c in cfa):
         pattern = "".join(_CODE_TO_COLOR[c] for c in cfa)
 
-    # crop to ActiveArea when present (top, left, bottom, right)
+    # crop to ActiveArea when present (top, left, bottom, right); an odd
+    # origin shifts the CFA phase (dcraw adjusts `filters` the same way)
     aa = meta["active_area"]
     if aa[0] >= 0 and aa[2] > aa[0] and aa[3] > aa[1]:
         img = img[aa[0] : aa[2], aa[1] : aa[3]]
+        if pattern is not None and (aa[0] % 2 or aa[1] % 2):
+            dy, dx = aa[0] % 2, aa[1] % 2
+            p = [[pattern[0], pattern[1]], [pattern[2], pattern[3]]]
+            pattern = (p[dy][dx] + p[dy][1 - dx]
+                       + p[1 - dy][dx] + p[1 - dy][1 - dx])
 
     # DNG levels are in CFA-pattern order; RawFrame wants c4 (R,G1,B,G2)
     black4 = _pattern_to_c4(meta["black"], pattern)
@@ -54,6 +61,7 @@ def load_dng(path) -> RawFrame:
     return RawFrame(
         cfa=img.astype(np.float32),
         pattern=pattern,
+        xtrans=xtrans,
         black=np.asarray(black4, dtype=np.float64),
         white=np.asarray(white4, dtype=np.float64),
         cam_mul=cam_mul,

@@ -1,14 +1,17 @@
 // artraw: host-side raw decoder for the ART-TPU framework.
 //
-// Scope (ARCHITECTURE.md / SURVEY §7 decision 2): DNG — the TIFF/EP
-// container with uncompressed, bit-packed and lossless-JPEG (LJ92 / ITU-T81
-// process 14, SOF3) payloads — decoded natively on host and handed to the
-// device pipeline as a float32 CFA plane plus levels/matrices/WB metadata.
-// Other camera formats route through DNG conversion or external
-// preconverters, the same escape hatch the reference exposes
-// (rtengine/imgiomanager.h). This replaces the dcraw.cc role (reference
-// rtengine/dcraw.cc) for the supported scope; it is a fresh implementation
-// from the TIFF6/DNG/JPEG-lossless specs, not a dcraw derivative.
+// Scope (ARCHITECTURE.md / SURVEY §7 decision 2): the formats named by the
+// build plan — DNG (TIFF/EP container: uncompressed, bit-packed and
+// lossless-JPEG LJ92/ITU-T81-process-14 payloads), Canon CR2 (sliced
+// lossless JPEG + MakerNote SensorInfo/ColorData), and classic Fuji RAF
+// (big-endian container, CFA-header records, uncompressed X-Trans/Bayer
+// payloads) — decoded natively on host and handed to the device pipeline
+// as a float32 CFA plane plus levels/matrices/WB metadata. Other camera
+// formats route through DNG conversion or external preconverters, the
+// same escape hatch the reference exposes (rtengine/imgiomanager.h).
+// This replaces the dcraw.cc role (reference rtengine/dcraw.cc) for the
+// supported scope; it is a fresh implementation from the TIFF6/DNG/
+// JPEG-lossless/public-CR2/RAF specs, not a dcraw derivative.
 //
 // C ABI for ctypes. Thread-safe (no globals).
 //
@@ -54,6 +57,7 @@ struct TagValue {
     std::string str;
     uint16_t type = 0;
     uint32_t count = 0;
+    size_t off = 0;  // file offset of the value (for nested blobs)
 };
 
 struct IFD {
@@ -89,7 +93,9 @@ static TagValue read_tag_value(const Reader& r, uint16_t type, uint32_t count,
     TagValue tv;
     tv.type = type;
     tv.count = count;
+    tv.off = voff;
     size_t esz = type_size(type);
+    if (type == 7 && count > 64) return tv;  // opaque blob: keep offset only
     for (uint32_t i = 0; i < count && i < (1u << 22); ++i) {
         size_t o = voff + i * esz;
         if (o + esz > r.len) break;
@@ -437,6 +443,7 @@ struct ArtRawMeta {
     int32_t orientation;
     int32_t active_area[4];  // top,left,bottom,right; -1 if absent
     int32_t crop[4];         // x,y,w,h (DefaultCropOrigin/Size); -1 absent
+    int32_t xtrans[36];      // 6x6 X-Trans pattern row-major; [0]=-1 if n/a
     char make[64];
     char model[64];
 };
@@ -550,9 +557,314 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// Canon CR2 (reference decode boundary: rtengine/dcraw.cc lossless JPEG +
+// cr2 slices; fresh implementation from the TIFF6/ITU-T81 specs and the
+// public CR2 format description)
+// ---------------------------------------------------------------------------
+
+static uint16_t* decode_cr2(const Reader& r, const std::vector<IFD>& ifds,
+                            ArtRawMeta* meta) {
+    // raw IFD: the one carrying the cr2 slice tag or the largest
+    // compression-6 strip
+    const IFD* raw = nullptr;
+    for (auto& ifd : ifds) {
+        if (ifd.find(0xC640)) { raw = &ifd; break; }
+    }
+    if (!raw) {
+        size_t best = 0;
+        for (auto& ifd : ifds) {
+            const TagValue* sc = ifd.find(279);
+            if ((int)ifd.num(259, 0) == 6 && sc && !sc->nums.empty() &&
+                (size_t)sc->nums[0] > best) {
+                best = (size_t)sc->nums[0];
+                raw = &ifd;
+            }
+        }
+    }
+    if (!raw) return nullptr;
+    const TagValue* so = raw->find(273);
+    const TagValue* sc = raw->find(279);
+    if (!so || so->nums.empty()) return nullptr;
+    size_t off = (size_t)so->nums[0];
+    size_t cnt = sc && !sc->nums.empty() ? (size_t)sc->nums[0] : r.len - off;
+    if (off + cnt > r.len) cnt = r.len - off;
+
+    LJ92 lj;
+    if (!lj.parse(r.buf + off, cnt)) return nullptr;
+    size_t jwide = (size_t)lj.width * lj.components;
+    size_t total = jwide * lj.height;
+    int height = lj.height;
+
+    // slices: [n, slice_width, last_slice_width] (u16); width = n*sw + lw
+    int n_sl = 0, sw = 0, lw = (int)jwide;
+    const TagValue* sl = raw->find(0xC640);
+    if (sl && sl->nums.size() >= 3 && sl->nums[0] > 0) {
+        n_sl = (int)sl->nums[0];
+        sw = (int)sl->nums[1];
+        lw = (int)sl->nums[2];
+    }
+    int width = n_sl * sw + lw;
+    if (width <= 0 || (size_t)width * height != total) {
+        // inconsistent slice data: fall back to unsliced layout
+        n_sl = 0;
+        sw = 0;
+        lw = width = (int)jwide;
+        if ((size_t)width * height != total) return nullptr;
+    }
+
+    std::vector<uint16_t> flat(total);
+    if (!lj.decode(flat.data())) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)width * height,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+    if (n_sl == 0) {
+        memcpy(out, flat.data(), total * sizeof(uint16_t));
+    } else {
+        // stream fills slice-by-slice, row-major inside each slice
+        size_t per_slice = (size_t)sw * height;
+        for (size_t jidx = 0; jidx < total; ++jidx) {
+            size_t i = jidx / per_slice;
+            int ws = sw;
+            size_t rem = jidx - i * per_slice;
+            if ((int)i >= n_sl) {
+                i = n_sl;
+                rem = jidx - (size_t)n_sl * per_slice;
+                ws = lw;
+            }
+            size_t row = rem / ws;
+            size_t col = rem % ws + i * sw;
+            if (row < (size_t)height)
+                out[row * width + col] = flat[jidx];
+        }
+    }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    // Canon sensors are RGGB at the sensor origin; the active-area offset
+    // below keeps the phase consistent
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i) meta->cfa_pattern[i] = rggb[i];
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    double wmax = (1 << lj.precision) - 1;
+    for (int i = 0; i < 4; ++i) meta->white[i] = wmax;
+    meta->iso = 100.0;
+
+    const IFD* ifd0 = &ifds[0];
+    meta->orientation = (int)ifd0->num(274, 1);
+    const TagValue* mk = ifd0->find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifd0->find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    for (auto& ifd : ifds) {
+        const TagValue* iso = ifd.find(34855);
+        if (iso && !iso->nums.empty()) { meta->iso = iso->nums[0]; break; }
+    }
+
+    // Canon MakerNote: plain IFD with absolute file offsets
+    const IFD* mn = nullptr;
+    IFD mn_store;
+    for (auto& ifd : ifds) {
+        const TagValue* v = ifd.find(0x927C);
+        if (v && v->off) {
+            std::vector<uint32_t> subs;
+            parse_ifd(r, v->off, mn_store, subs, 3);
+            mn = &mn_store;
+            break;
+        }
+    }
+    int a_top = -1, a_left = -1, a_bot = -1, a_right = -1;
+    if (mn) {
+        const TagValue* si = mn->find(0x00E0);  // SensorInfo
+        if (si && si->nums.size() >= 9) {
+            a_left = (int)si->nums[5];
+            a_top = (int)si->nums[6];
+            a_right = (int)si->nums[7];
+            a_bot = (int)si->nums[8];
+            if (a_left > 0 && a_top > 0 && a_right > a_left &&
+                a_bot > a_top && a_right < width && a_bot < height) {
+                meta->active_area[0] = a_top;
+                meta->active_area[1] = a_left;
+                meta->active_area[2] = a_bot + 1;
+                meta->active_area[3] = a_right + 1;
+            }
+        }
+        const TagValue* cd = mn->find(0x4001);  // ColorData
+        if (cd && cd->off && cd->count > 100) {
+            size_t woff = cd->count == 582 ? 25
+                         : cd->count == 653 ? 34 : 63;
+            double wb[4];
+            for (int i = 0; i < 4; ++i)
+                wb[i] = r.u16(cd->off + 2 * (woff + i));  // R G G B
+            if (wb[0] > 0 && wb[1] > 0 && wb[3] > 0) {
+                meta->as_shot_neutral[0] = wb[1] / wb[0];
+                meta->as_shot_neutral[1] = 1.0;
+                meta->as_shot_neutral[2] = wb[1] / wb[3];
+            }
+        }
+    }
+    // black level: average of the optically-masked left border per CFA
+    // channel (the CR2 carries no black tag; the mask is the reference's
+    // source too)
+    if (meta->active_area[1] > 4) {
+        double acc[4] = {0, 0, 0, 0};
+        long cns[4] = {0, 0, 0, 0};
+        int x1 = meta->active_area[1] - 2;
+        int y0 = meta->active_area[0];
+        int y1 = meta->active_area[2];
+        for (int y = y0; y < y1; ++y)
+            for (int x = 2; x < x1; ++x) {
+                int c = (y & 1) * 2 + (x & 1);
+                acc[c] += out[(size_t)y * width + x];
+                cns[c]++;
+            }
+        for (int c = 0; c < 4; ++c)
+            meta->black[c] = cns[c] ? acc[c] / cns[c] : 0.0;
+    }
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// Fuji RAF (reference decode boundary: rtengine/dcraw.cc parse_fuji; fresh
+// implementation from the public RAF container description). Scope:
+// the classic layout — big-endian container, CFA-header record list,
+// uncompressed 16-bit or bit-packed payload. Fuji-compressed RAF routes
+// through the external preconverter hook.
+// ---------------------------------------------------------------------------
+
+static uint16_t* decode_raf(const uint8_t* buf, size_t len,
+                            ArtRawMeta* meta) {
+    Reader br{buf, len, false};  // big-endian
+    // header: 0x54 jpeg off/len, 0x5C cfa header off/len, 0x64 cfa off/len
+    uint32_t cfa_hdr_off = br.u32(0x5C);
+    uint32_t cfa_hdr_len = br.u32(0x60);
+    uint32_t cfa_off = br.u32(0x64);
+    uint32_t cfa_len = br.u32(0x68);
+    if (!cfa_hdr_off || cfa_hdr_off + cfa_hdr_len > len) return nullptr;
+    if (!cfa_off || cfa_off > len) return nullptr;
+    if (cfa_off + cfa_len > len) cfa_len = (uint32_t)(len - cfa_off);
+
+    int rh = 0, rw = 0;
+    int xtrans[36];
+    bool has_xtrans = false;
+    double wb_grb[4] = {0, 0, 0, 0};
+    bool has_wb = false;
+
+    uint32_t n = br.u32(cfa_hdr_off);
+    size_t p = cfa_hdr_off + 4;
+    for (uint32_t i = 0; i < n && i < 256 && p + 4 <= len; ++i) {
+        uint16_t id = br.u16(p);
+        uint16_t sz = br.u16(p + 2);
+        size_t dp = p + 4;
+        if (dp + sz > len) break;
+        switch (id) {
+            case 0x100:  // raw height, width
+                rh = br.u16(dp);
+                rw = br.u16(dp + 2);
+                break;
+            case 0x121:  // (super CCD dims; prefer 0x100 when present)
+                if (!rh) { rh = br.u16(dp); rw = br.u16(dp + 2); }
+                break;
+            case 0x131: {  // X-Trans pattern, 36 bytes (dcraw order)
+                if (sz >= 36) {
+                    for (int k = 0; k < 36; ++k) {
+                        int v = buf[dp + k];
+                        if (v > 2) v = 1;
+                        // dcraw reads into xtrans[...] mirrored; keep raster
+                        xtrans[k] = v;
+                    }
+                    has_xtrans = true;
+                }
+                break;
+            }
+            case 0x2ff0:  // as-shot WB: G R B (G2) u16s
+                if (sz >= 8) {
+                    wb_grb[0] = br.u16(dp);
+                    wb_grb[1] = br.u16(dp + 2);
+                    wb_grb[2] = br.u16(dp + 4);
+                    wb_grb[3] = br.u16(dp + 6);
+                    has_wb = wb_grb[0] > 0 && wb_grb[1] > 0 && wb_grb[2] > 0;
+                }
+                break;
+            default:
+                break;
+        }
+        p = dp + sz;
+    }
+    if (rh <= 0 || rw <= 0 || rh > 65535 || rw > 65535) return nullptr;
+
+    size_t npix = (size_t)rh * rw;
+    uint16_t* out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+    if (!out) return nullptr;
+    int bps = 16;
+    if (cfa_len >= npix * 2) {
+        // 16-bit; RAF payloads are little-endian on modern bodies
+        for (size_t i = 0; i < npix; ++i)
+            out[i] = (uint16_t)(buf[cfa_off + 2 * i]
+                                | buf[cfa_off + 2 * i + 1] << 8);
+        uint16_t mx = 0;
+        for (size_t i = 0; i < npix; i += 97) mx = std::max(mx, out[i]);
+        bps = mx > 16383 ? 16 : 14;
+    } else if (cfa_len * 8 >= npix * 14) {
+        unpack_bits(buf + cfa_off, cfa_len, out, npix, 14, true);
+        bps = 14;
+    } else if (cfa_len * 8 >= npix * 12) {
+        unpack_bits(buf + cfa_off, cfa_len, out, npix, 12, true);
+        bps = 12;
+    } else {
+        free(out);  // fuji-compressed payload: preconverter scope
+        return nullptr;
+    }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = rw;
+    meta->height = rh;
+    meta->orientation = 1;
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    double wmax = (1 << (bps > 14 ? 16 : bps)) - 1;
+    for (int i = 0; i < 4; ++i) { meta->white[i] = wmax; meta->black[i] = 0; }
+    meta->iso = 100.0;
+    meta->cfa_pattern[0] = -1;
+    if (has_xtrans) {
+        for (int k = 0; k < 36; ++k) meta->xtrans[k] = xtrans[k];
+    } else {
+        static const int gggr[4] = {0, 1, 1, 2};
+        for (int i = 0; i < 4; ++i) meta->cfa_pattern[i] = gggr[i];
+    }
+    if (has_wb) {
+        // records are G, R, B(, G2): neutral = 1/gain, G-normalized
+        meta->as_shot_neutral[0] = wb_grb[0] / wb_grb[1];
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = wb_grb[0] / wb_grb[2];
+    }
+    // make/model from the header (0x10: make? model string at 0x1C..0x3C)
+    strncpy(meta->make, "FUJIFILM", 63);
+    {
+        char mdl[33];
+        memset(mdl, 0, sizeof(mdl));
+        for (int i = 0; i < 32 && 0x1C + i < (int)len; ++i) {
+            char c = (char)buf[0x1C + i];
+            if (!c) break;
+            mdl[i] = c;
+        }
+        strncpy(meta->model, mdl, 63);
+    }
+    return out;
+}
+
+uint16_t* artraw_decode(const uint8_t* buf, size_t len, ArtRawMeta* meta);
+
 uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
                             ArtRawMeta* meta) {
     if (len < 8) return nullptr;
+    if (len > 16 && memcmp(buf, "FUJIFILMCCD-RAW", 15) == 0)
+        return decode_raf(buf, len, meta);
     Reader r{buf, len, true};
     if (buf[0] == 'I' && buf[1] == 'I')
         r.little = true;
@@ -585,6 +897,10 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
         ifds.push_back(std::move(ifd));
     }
     if (ifds.empty()) return nullptr;
+
+    // Canon CR2: TIFF with "CR" magic at offset 8
+    if (len > 10 && buf[8] == 'C' && buf[9] == 'R')
+        return decode_cr2(r, ifds, meta);
 
     // pick the raw IFD: prefer PhotometricInterpretation 32803 (CFA) or
     // 34892 (LinearRaw); fall back to largest area
@@ -629,6 +945,7 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
 
     // ---- metadata ----
     memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
     meta->width = width;
     meta->height = height;
     meta->orientation = (int)ifd0->num(274, 1);

@@ -30,6 +30,7 @@ class ArtRawMeta(ctypes.Structure):
         ("orientation", ctypes.c_int32),
         ("active_area", ctypes.c_int32 * 4),
         ("crop", ctypes.c_int32 * 4),
+        ("xtrans", ctypes.c_int32 * 36),
         ("make", ctypes.c_char * 64),
         ("model", ctypes.c_char * 64),
     ]
@@ -86,6 +87,9 @@ def decode_dng_bytes(data: bytes):
         "orientation": meta.orientation,
         "active_area": list(meta.active_area),
         "crop": list(meta.crop),
+        "xtrans": (tuple(tuple(meta.xtrans[r * 6 + c] for c in range(6))
+                         for r in range(6))
+                   if meta.xtrans[0] >= 0 else None),
         "make": meta.make.decode(errors="replace"),
         "model": meta.model.decode(errors="replace"),
     }

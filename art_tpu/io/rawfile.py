@@ -191,14 +191,42 @@ def synthesize_xtrans(rgb01, black=512.0, white=16383.0,
 
 
 def load_raw(path) -> RawFrame:
-    """Decode a raw file on host. DNG via the native decoder; others via
-    registered external preconverters (imgiomanager semantics)."""
+    """Decode a raw file on host. DNG/CR2/RAF via the native decoder;
+    others via registered external preconverters (imgiomanager
+    semantics)."""
     from art_tpu.io import dng
 
     ext = os.path.splitext(str(path))[1].lower()
-    if ext == ".dng":
-        return dng.load_dng(path)
+    if ext in (".dng", ".cr2", ".raf"):
+        frame = dng.load_dng(path)
+        _apply_camconst_levels(frame)
+        return frame
     raise NotImplementedError(
         f"raw format {ext} not natively decoded yet; convert to DNG or "
         "register an external preconverter"
     )
+
+
+def _apply_camconst_levels(frame: RawFrame):
+    """Override container levels with camconst per-ISO data when present
+    (reference: camconst.cc get_Levels consulted by RawImage::get_*level)."""
+    try:
+        from art_tpu.raw.camconst import get_instance
+
+        cc = get_instance().get(frame.make, frame.model)
+    except Exception:
+        return
+    if cc is None:
+        return
+    wl = cc.white_levels(int(frame.iso))
+    if wl is not None:
+        frame.white = np.asarray(wl, dtype=np.float64)
+    bl = cc.black_levels(int(frame.iso))
+    if bl is not None and np.any(np.asarray(bl) > 0):
+        frame.black = np.asarray(bl, dtype=np.float64)
+    if frame.cam_xyz is None:
+        m = cc.dcraw_matrix()
+        if m and len(m) >= 9:
+            frame.cam_xyz = np.asarray(m[:9], dtype=np.float64).reshape(3, 3)
+            if np.abs(frame.cam_xyz).max() > 10:  # dcraw x10000 convention
+                frame.cam_xyz = frame.cam_xyz / 10000.0

@@ -1,0 +1,38 @@
+"""Native RAF decode path (oracle: tests/util_raf.py synthetic writer)."""
+
+import numpy as np
+
+from art_tpu.io.rawfile import (XTRANS_CANONICAL, load_raw,
+                                synthesize_xtrans)
+from tests.util_raf import write_raf
+
+
+def test_raf_xtrans_roundtrip(tmp_path):
+    rng = np.random.default_rng(11)
+    rgb = rng.uniform(0.05, 0.9, size=(3, 96, 120)).astype(np.float32)
+    frame = synthesize_xtrans(rgb, black=0.0, white=15000.0)
+    mosaic = np.round(frame.cfa).astype(np.uint16)
+    p = str(tmp_path / "shot.raf")
+    write_raf(p, mosaic, xtrans=XTRANS_CANONICAL,
+              wb_grbg=(1024, 2048, 1536, 1024))
+    fr = load_raw(p)
+    assert fr.pattern is None
+    assert fr.xtrans == XTRANS_CANONICAL
+    assert fr.make == "FUJIFILM"
+    assert fr.model == "X-SYNTH"
+    np.testing.assert_array_equal(fr.cfa, mosaic.astype(np.float32))
+    # WB: records are (G, R, B, G2) -> gains R=2048/1024=2, B=1.5
+    np.testing.assert_allclose(fr.cam_mul[0], 2.0, rtol=1e-3)
+    np.testing.assert_allclose(fr.cam_mul[2], 1.5, rtol=1e-3)
+    assert fr.white[0] == 16383.0
+
+
+def test_raf_bayer_fallback(tmp_path):
+    rng = np.random.default_rng(3)
+    mosaic = (rng.uniform(0, 12000, size=(64, 80))).astype(np.uint16)
+    p = str(tmp_path / "bayer.raf")
+    write_raf(p, mosaic, xtrans=None)
+    fr = load_raw(p)
+    assert fr.xtrans is None
+    assert fr.pattern is not None and len(fr.pattern) == 4
+    np.testing.assert_array_equal(fr.cfa, mosaic.astype(np.float32))
