@@ -235,7 +235,7 @@ def plan(frame, pp):
         # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
         hl_mode = "Off"
         if pp.exposure.enabled and pp.exposure.hrmode != "Off":
-            hl_mode = {"Blend": "blend", "Color": "opposed",
+            hl_mode = {"Blend": "blend", "Color": "inpaint",
                        "ColorSoft": "opposed"}.get(pp.exposure.hrmode, "Off")
         if hl_mode != "Off":
             wb_cam = wbmod.wb_camera_multipliers(frame, wb_mults)
@@ -589,6 +589,11 @@ def _build_run(config: PipelineConfig):
                 from art_tpu.raw.hilite import recover_opposed
 
                 rgb = recover_opposed(rgb, data["hl_scale_mul"],
+                                      data["hl_wb_cam"])
+            elif config.hl_mode == "inpaint":
+                from art_tpu.raw.hilite_inpaint import recover_inpaint
+
+                rgb = recover_inpaint(rgb, data["hl_scale_mul"],
                                       data["hl_wb_cam"])
             rgb = rgb * data["rgb_mults"][:, None, None]
             if config.hl_mode == "blend":

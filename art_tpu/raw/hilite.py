@@ -7,8 +7,8 @@ Modes (ExposureParams::HR_*):
   offset estimated from near-clip pixels; masks dilated 3x3.
 - "blend" (HR_BLEND): HLRecovery_blend luminance blending (applied after
   demosaic in getImage).
-- "inpaint" (HR_COLOR): HLRecovery_inpaint (hilite_recon.cc:299) — see
-  raw/hilite_inpaint.py.
+- "inpaint" (HR_COLOR): HLRecovery_inpaint (hilite_recon.cc:299) —
+  implemented in raw/hilite_inpaint.py (diffusion fill).
 
 Runs after demosaic on the WB-scaled RGB planes, whole-plane.
 

@@ -112,3 +112,52 @@ def test_ca_correct_auto_reduces_fringing():
     def misreg(img):
         return np.abs(np.gradient(img[0] - img[1], axis=1)).mean()
     assert misreg(out[:, 16:-16, 16:-16]) < misreg(base[:, 16:-16, 16:-16])
+
+
+def test_hl_inpaint_reconstructs_hue():
+    """Blown orange core: inpaint must rebuild the surround's G/R ratio
+    and push brightness past the clip level (hilite_recon.cc:299 role)."""
+    import jax.numpy as jnp
+
+    from art_tpu.raw.hilite_inpaint import recover_inpaint
+
+    h, w = 128, 128
+    rgb = np.zeros((3, h, w), np.float32)
+    rgb[0], rgb[1], rgb[2] = 0.9, 0.5, 0.2
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    bump = np.exp(-(((yy - 64) ** 2 + (xx - 64) ** 2)
+                    / (2 * 18.0 ** 2))) * 3.0
+    rgb = rgb * (0.4 + bump)[None]
+    ones = np.ones(3, np.float32)
+    clipv = 0.987 / 1.2 * 65535.0
+    x = np.minimum(rgb * 65535.0, clipv)
+    out = np.asarray(recover_inpaint(jnp.asarray(x), jnp.asarray(ones),
+                                     jnp.asarray(ones)))
+    ctr = (slice(60, 68), slice(60, 68))
+    rat = out[1][ctr].mean() / out[0][ctr].mean()
+    assert abs(rat - 0.556) < 0.08
+    assert out[0, 64, 64] > x[0, 64, 64] * 1.5  # brightness extended
+    edge = np.abs(out - x)[:, :8, :].max()
+    assert edge < 0.01  # unclipped area untouched (f32 scale roundtrip)
+
+
+def test_transform_bicubic_beats_bilinear():
+    import jax.numpy as jnp
+
+    from art_tpu.pipeline.transform import apply_transform
+
+    th = 0.05
+    data = {k: np.float32(v) for k, v in dict(
+        cos=np.cos(th), sin=np.sin(th), dist=0.0, ca_r=0.0, ca_b=0.0,
+        persp_h=0.0, persp_v=0.0, shear=0.0).items()}
+    yy, xx = np.meshgrid(np.arange(80), np.arange(80), indexing="ij")
+    f = np.sin(xx * 0.3) * np.cos(yy * 0.25)
+    img = jnp.asarray(np.stack([f, f, f]).astype(np.float32))
+    bi = np.asarray(apply_transform(img, data, method="bilinear"))[0]
+    bc = np.asarray(apply_transform(img, data, method="bicubic"))[0]
+    w2 = h2 = 80 / 2 - 0.5
+    dxc = (xx - w2) * np.cos(th) - (yy - h2) * np.sin(th) + w2
+    dyc = (xx - w2) * np.sin(th) + (yy - h2) * np.cos(th) + h2
+    gt = np.sin(dxc * 0.3) * np.cos(dyc * 0.25)
+    m = (slice(10, 70), slice(10, 70))
+    assert np.abs(bc - gt)[m].mean() < 0.2 * np.abs(bi - gt)[m].mean()
