@@ -124,5 +124,5 @@ for _sharp in ("amaze", "rcd"):
     for _flat in ("bilinear", "vng4"):
         register(f"{_sharp}{_flat}")(_make(_sharp, _flat))
 # DCB isn't implemented; its dual variants route to RCD (closest quality)
-register("dcbbilinear")(_make("rcd", "bilinear"))
-register("dcbvng4")(_make("rcd", "vng4"))
+register("dcbbilinear")(_make("dcb", "bilinear"))
+register("dcbvng4")(_make("dcb", "vng4"))

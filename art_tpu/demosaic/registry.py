@@ -43,3 +43,7 @@ def _populate():
         from art_tpu.demosaic import dual  # noqa: F401
     except ImportError:
         pass
+    try:
+        from art_tpu.demosaic import dcb  # noqa: F401
+    except ImportError:
+        pass

@@ -53,6 +53,8 @@ class RawFrame:
     filename: str = ""
     # non-raw passthrough: (3,H,W) float32 0..65535 already-demosaiced data
     rgb: np.ndarray | None = None
+    # pixel-shift: the 3 additional frames (3,H,W), same ADU domain as cfa
+    extra_frames: np.ndarray | None = None
 
     @property
     def is_raw(self):
@@ -230,3 +232,36 @@ def _apply_camconst_levels(frame: RawFrame):
             frame.cam_xyz = np.asarray(m[:9], dtype=np.float64).reshape(3, 3)
             if np.abs(frame.cam_xyz).max() > 10:  # dcraw x10000 convention
                 frame.cam_xyz = frame.cam_xyz / 10000.0
+
+
+def synthesize_pixelshift(rgb01, pattern="RGGB", black=512.0, white=16383.0,
+                          cam_mul=(2.0, 1.0, 1.5)):
+    """Four pixel-shift frames of a scene (the reference's Pentax/Sony
+    4-frame grid): frame k records the channel selected by the CFA
+    displaced by demosaic.pixelshift.OFFSETS[k]."""
+    from art_tpu.core.image import bayer_color_index
+    from art_tpu.demosaic.pixelshift import OFFSETS
+
+    rgb01 = np.asarray(rgb01, dtype=np.float64)
+    _, h, w = rgb01.shape
+    cam_mul = np.asarray(cam_mul, dtype=np.float64)
+    sensor = rgb01 / cam_mul[:, None, None]
+    frames = []
+    for dy, dx in OFFSETS:
+        cidx = np.roll(np.roll(
+            np.asarray(bayer_color_index(pattern, (h, w))), -dy, 0), -dx, 1)
+        mosaic = np.take_along_axis(
+            sensor.reshape(3, -1), cidx.reshape(1, -1), axis=0
+        ).reshape(h, w)
+        frames.append(np.clip(mosaic * (white - black) + black, 0, white))
+    base = RawFrame(
+        cfa=frames[0].astype(np.float32),
+        pattern=pattern,
+        black=np.full(4, float(black)),
+        white=np.full(4, float(white)),
+        cam_mul=np.array([cam_mul[0], cam_mul[1], cam_mul[2], cam_mul[1]]),
+        make="ART-TPU", model="SyntheticPS",
+        filename="<synthetic-pixelshift>",
+        extra_frames=np.stack(frames[1:]).astype(np.float32),
+    )
+    return base

@@ -62,6 +62,7 @@ class PipelineConfig:
     dem_kwargs: tuple = ()
     # DCP input profile static part (has_hsm, dims, srgb_enc, has_tc, bl)
     dcp: tuple | None = None
+    pixelshift: bool = False  # combine 4 shifted frames instead of demosaic
     darkframe: bool = False
     flatfield: tuple | None = None  # (blur_type, radius)
     gainmap: bool = False
@@ -92,6 +93,18 @@ def plan(frame, pp):
         raw_expos = pp.raw.expos if pp.raw.expos_enabled else 1.0
         method = (pp.raw.bayer.method if frame.pattern is not None
                   else pp.raw.xtrans.method)
+        # pixel-shift needs the 3 extra frames; single-frame files fall
+        # back to the flagship method (rawimagesource.cc:1888 fallback)
+        pixelshift = False
+        if method.lower() == "pixelshift":
+            extra = getattr(frame, "extra_frames", None)
+            if extra is not None and len(extra) == 3:
+                pixelshift = True
+                data["ps_frames"] = pad_to_multiple(
+                    np.asarray(extra, np.float32),
+                    settings.pad_multiple)[0]
+            else:
+                method = "amaze"
         dem_kwargs = []
         ml = method.lower()
         if (ml.endswith("bilinear") or ml.endswith("vng4")
@@ -104,6 +117,10 @@ def plan(frame, pp):
         if ml == "lmmse":
             dem_kwargs.append(
                 ("iterations", int(pp.raw.bayer.lmmse_iterations)))
+        if ml.startswith("dcb"):
+            dem_kwargs += [
+                ("iterations", int(pp.raw.bayer.dcb_iterations)),
+                ("enhance", bool(pp.raw.bayer.dcb_enhance))]
 
         # chosen WB in ColorTemp multiplier convention (getWB / simpleprocess
         # stage_init) — camera WB is the identity in this convention.
@@ -451,6 +468,7 @@ def plan(frame, pp):
         xtrans=frame.xtrans,
         is_raw=frame.is_raw,
         demosaic_method=method,
+        pixelshift=pixelshift,
         do_clip=do_clip,
         working_profile=icc_working,
         out_trc=out_trc,
@@ -582,9 +600,22 @@ def _build_run(config: PipelineConfig):
                                  ca_red=car, ca_blue=cab)
             from art_tpu.demosaic import demosaic as dem
 
-            rgb = dem(cfa, config.pattern, config.demosaic_method,
-                      xtrans=config.xtrans, init_gain=data["init_gain"],
-                      **dict(config.dem_kwargs))
+            if config.pixelshift:
+                from art_tpu.demosaic.pixelshift import pixelshift_combine
+
+                extra = jnp.stack([
+                    rawpre.apply_scale(data["ps_frames"][k],
+                                       data["raw_offset"],
+                                       data["raw_scale"], jnp)
+                    for k in range(3)])
+                frames4 = jnp.concatenate([cfa[None], extra])
+                rgb = pixelshift_combine(frames4, config.pattern,
+                                         **dict(config.dem_kwargs))
+            else:
+                rgb = dem(cfa, config.pattern, config.demosaic_method,
+                          xtrans=config.xtrans,
+                          init_gain=data["init_gain"],
+                          **dict(config.dem_kwargs))
             if config.hl_mode == "opposed":
                 from art_tpu.raw.hilite import recover_opposed
 

@@ -261,3 +261,81 @@ def test_igv_preserves_cfa():
     got = np.take_along_axis(out.reshape(3, -1), cidx.reshape(1, -1),
                              axis=0).reshape(cfa.shape)
     assert np.allclose(got[8:-8, 8:-8], cfa[8:-8, 8:-8], atol=2.0)
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "GRBG"])
+def test_dcb_reconstructs_smooth(pattern):
+    rgb = smooth_image()
+    cfa = mosaic_of(rgb, pattern)
+    out = np.asarray(demosaic(cfa, pattern, "dcb"))
+    err = np.abs(out - rgb)[:, 8:-8, 8:-8] / 65535.0
+    assert err.mean() < 0.004, err.mean()
+    assert err.max() < 0.06, err.max()
+
+
+def test_dcb_beats_bilinear_on_edges():
+    rgb = edge_image()
+    cfa = mosaic_of(rgb, "RGGB")
+    d = np.asarray(demosaic(cfa, "RGGB", "dcb"))
+    b = np.asarray(demosaic(cfa, "RGGB", "bilinear"))
+    sl = (slice(None), slice(8, -8), slice(8, -8))
+    assert np.abs(d[sl] - rgb[sl]).mean() < np.abs(b[sl] - rgb[sl]).mean()
+
+
+def test_dcb_preserves_cfa_samples():
+    from art_tpu.core.image import bayer_channel_masks
+
+    rgb = smooth_image(seed=3)
+    cfa = mosaic_of(rgb, "RGGB")
+    out = np.asarray(demosaic(cfa, "RGGB", "dcb"))
+    mr, mg, mb = (np.asarray(m) for m in
+                  bayer_channel_masks("RGGB", cfa.shape, np))
+    inner = np.zeros_like(mr)
+    inner[8:-8, 8:-8] = True
+    np.testing.assert_allclose(out[0][mr & inner], cfa[mr & inner],
+                               rtol=1e-5)
+    np.testing.assert_allclose(out[2][mb & inner], cfa[mb & inner],
+                               rtol=1e-5)
+
+
+def test_pixelshift_combine_exact():
+    """Static scene: 4-frame combine recovers RGB exactly (no demosaic
+    interpolation error), reference pixelshift.cc role."""
+    import jax.numpy as jnp
+
+    from art_tpu.demosaic.pixelshift import pixelshift_combine
+    from art_tpu.io.rawfile import synthesize_pixelshift
+
+    rgb = smooth_image(seed=5)
+    fr = synthesize_pixelshift(rgb / 65535.0, black=0.0, white=65535.0,
+                               cam_mul=(1.0, 1.0, 1.0))
+    frames = jnp.asarray(
+        np.concatenate([fr.cfa[None], fr.extra_frames]))
+    out = np.asarray(pixelshift_combine(frames, "RGGB",
+                                        motion_detect=False))
+    np.testing.assert_allclose(out, rgb, atol=1.0)
+
+
+def test_pixelshift_motion_fallback():
+    """A moving object between frames must trigger the motion mask and
+    fall back to single-frame demosaic (no ghost colors)."""
+    import jax.numpy as jnp
+
+    from art_tpu.demosaic.pixelshift import pixelshift_combine
+    from art_tpu.io.rawfile import synthesize_pixelshift
+
+    rgb = smooth_image(seed=6)
+    fr = synthesize_pixelshift(rgb / 65535.0, black=0.0, white=65535.0,
+                               cam_mul=(1.0, 1.0, 1.0))
+    frames = np.concatenate([fr.cfa[None], fr.extra_frames])
+    # corrupt a block in frames 1-3 (object moved after frame 0)
+    frames[1:, 30:50, 40:60] *= 0.2
+    out = np.asarray(pixelshift_combine(jnp.asarray(frames), "RGGB",
+                                        demosaic_method="rcd"))
+    ref = np.asarray(pixelshift_combine(jnp.asarray(frames), "RGGB",
+                                        motion_detect=False))
+    # motion area: output tracks frame-0 demosaic (bright), naive combine
+    # would mix the darkened frames
+    blk = (slice(None), slice(34, 46), slice(44, 56))
+    assert np.abs(out[blk] - rgb[blk]).mean() < 0.5 * np.abs(
+        ref[blk] - rgb[blk]).mean()

@@ -116,3 +116,29 @@ def test_saturation_op():
     c = out[:, 8:-8, 8:-8].mean(axis=(1, 2))
     c0 = base[:, 8:-8, 8:-8].mean(axis=(1, 2))
     assert (c[0] - c[1]) > (c0[0] - c0[1])
+
+
+def test_develop_pixelshift_wiring():
+    """plan/develop must route 4-frame pixel-shift files through the
+    combine (simpleprocess stage_init + rawimagesource.cc:1888)."""
+    from art_tpu.io.rawfile import synthesize_pixelshift
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import develop, plan
+
+    rng = np.random.default_rng(2)
+    rgb = rng.uniform(0.1, 0.8, size=(3, 64, 96)).astype(np.float32)
+    fr = synthesize_pixelshift(rgb, cam_mul=(1.0, 1.0, 1.0))
+    pp = ProcParams()
+    pp.raw.bayer.method = "pixelshift"
+    config, _ = plan(fr, pp)
+    assert config.pixelshift
+    out = develop(fr, pp)
+    assert out.shape[1:] == (64, 96)
+    assert np.isfinite(out).all()
+
+    # without extra frames: fall back to amaze
+    fr2 = synthesize_pixelshift(rgb, cam_mul=(1.0, 1.0, 1.0))
+    fr2.extra_frames = None
+    config2, _ = plan(fr2, pp)
+    assert not config2.pixelshift
+    assert config2.demosaic_method == "amaze"
