@@ -53,6 +53,13 @@ class MaskSpec:
     posterization: int = 0
     smoothing: int = 0
     opacity: float = 1.0
+    drawn_enabled: bool = False
+    drawn_feather: float = 0.0
+    drawn_opacity: float = 1.0
+    drawn_smoothness: float = 0.0
+    drawn_contrast: list = dataclasses.field(default_factory=lambda: [0])
+    drawn_mode: int = 0  # 0=INTERSECT 1=ADD 2=ADD_BOUNDED
+    drawn_strokes: list = dataclasses.field(default_factory=list)
 
     @classmethod
     def from_keyfile(cls, kf, group, suffix, prefix=""):
@@ -93,6 +100,13 @@ class MaskSpec:
                 group, f"{prefix}AreaMask{n}Mode{suffix}", "add").lower()
             m.area_shapes.append(shape)
             n += 1
+        m.drawn_enabled = g("DrawnMaskEnabled", "b", False)
+        m.drawn_feather = g("DrawnMaskFeather", "f", 0.0)
+        m.drawn_opacity = g("DrawnMaskOpacity", "f", 1.0)
+        m.drawn_smoothness = g("DrawnMaskSmoothness", "f", 0.0)
+        m.drawn_contrast = g("DrawnMaskContrast", "dl", [0])
+        m.drawn_mode = g("DrawnMaskMode", "i", 0)
+        m.drawn_strokes = g("DrawnMaskStrokes", "dl", [])
         m.deltae_enabled = g("DeltaEMaskEnabled", "b", False)
         m.deltae_lch = (g("DeltaEMaskL", "f", 0.0),
                         g("DeltaEMaskC", "f", 0.0),
@@ -104,6 +118,7 @@ class MaskSpec:
     def is_trivial(self):
         return not (self.parametric_enabled or self.area_enabled
                     or self.deltae_enabled or self.inverted
+                    or (self.drawn_enabled and self.drawn_strokes)
                     or (self.curve and len(self.curve) > 1))
 
 
@@ -158,6 +173,69 @@ def rasterize_area(shapes, h, w):
     return out
 
 
+def rasterize_drawn(spec: "MaskSpec", h, w):
+    """Host rasterization of brush strokes (masks.cc generate_drawn_mask
+    :379): per stroke-group circular stamps with hardness-derived values,
+    smoothness blur, feather, and contrast curve. Deviations: the feather
+    uses a gaussian instead of the image-guided filter (the guide lives on
+    device), and stamp de-duplication is per parameter-group rather than
+    per flag run."""
+    import cv2
+
+    strokes = list(spec.drawn_strokes)
+    add = spec.drawn_mode != 0
+    mask = np.zeros((h, w), dtype=np.float32)
+    stamped = np.zeros((h, w), dtype=bool)
+    maxradius = 0.0
+    pos = 0
+    while pos + 4 < len(strokes):
+        n = int(strokes[pos])
+        radius = float(strokes[pos + 1])
+        erase = not bool(strokes[pos + 2])
+        opac = float(np.clip(strokes[pos + 3], 0.0, 1.0))
+        pos += 4
+        pts = strokes[pos : pos + 2 * n]
+        pos += 2 * n
+        r = int(min(w, h) * radius * 0.25)
+        maxradius = max(maxradius, radius)
+        val = (-1.0 if erase else 1.0) + (1.0 - opac) * (0.99 if erase
+                                                         else -0.99)
+        cov = np.zeros((h, w), dtype=np.uint8)
+        for k in range(0, len(pts) - 1, 2):
+            cx = int(round(w * pts[k]))
+            cy = int(round(h * pts[k + 1]))
+            cv2.circle(cov, (cx, cy), max(r, 1), 1, -1)
+        covb = cov > 0
+        stamped |= covb
+        if add:
+            base = np.where(np.sign(mask) == np.sign(val), mask,
+                            np.clip(mask, 0.0, 1.0))
+            mask = np.where(covb, np.clip(base + val, -1.0, 1.0), mask)
+        else:
+            mask = np.where(covb, np.clip(mask + val, 0.0, 1.0), mask)
+
+    ccurve = DiagonalCurve(spec.drawn_contrast)
+    needscale = add and (spec.drawn_smoothness > 0 or spec.drawn_feather > 0
+                         or not ccurve.is_identity())
+    if needscale:
+        mask = np.where(stamped, (mask + 1.0) / 2.0, 0.5).astype(np.float32)
+    if spec.drawn_smoothness > 0:
+        sigma = min(w, h) * maxradius * 0.2 * spec.drawn_smoothness
+        if sigma > 0.3:
+            mask = cv2.GaussianBlur(mask, (0, 0), sigma)
+    if spec.drawn_feather > 0:
+        rad = spec.drawn_feather / 100.0 * min(w, h) * 0.1 + 0.5
+        if rad > 0.6:
+            mask = cv2.GaussianBlur(mask, (0, 0), rad)
+    if not ccurve.is_identity():
+        xs = np.linspace(0.0, 1.0, 1025)
+        lut = ccurve.lut(1025)
+        mask = np.interp(np.clip(mask, 0.0, 1.0), xs, lut).astype(np.float32)
+    if needscale:
+        mask = mask * 2.0 - 1.0
+    return mask.astype(np.float32)
+
+
 def plan_mask(mask: MaskSpec, shape):
     """Host planner for one region mask -> (static, data)."""
     h, w = shape
@@ -179,6 +257,10 @@ def plan_mask(mask: MaskSpec, shape):
     if mask.area_enabled and mask.area_shapes:
         use_area = True
         data["area"] = rasterize_area(mask.area_shapes, h, w)
+    drawn_mode = -1
+    if mask.drawn_enabled and mask.drawn_strokes:
+        drawn_mode = int(np.clip(mask.drawn_mode, 0, 2))
+        data["drawn"] = rasterize_drawn(mask, h, w)
     use_curve = False
     mc = DiagonalCurve(mask.curve)
     if not mc.is_identity():
@@ -192,14 +274,21 @@ def plan_mask(mask: MaskSpec, shape):
     static = (use_param, use_area, use_curve, use_de,
               bool(mask.inverted), float(mask.parametric_blur),
               float(mask.area_blur), int(mask.posterization),
-              float(mask.opacity))
+              float(mask.opacity), drawn_mode,
+              float(np.clip(mask.drawn_opacity, 0.0, 1.0)))
     return static, data
 
 
 def eval_mask(rgb, ws, static, data):
     """Device: evaluate one region mask -> (H, W) in [0,1]."""
     (use_param, use_area, use_curve, use_de, inverted, pblur, ablur,
-     posterization, opacity) = static
+     posterization, opacity, drawn_mode, drawn_alpha) = static[:11]
+
+    def apply_drawn(m):
+        f = drawn_alpha * data["drawn"]
+        if drawn_mode == 0:  # INTERSECT
+            return m * f
+        return jnp.clip(m + f, 0.0, 1.0)
     x = rgb / MAXVAL
     xx = ws[0, 0] * x[0] + ws[0, 1] * x[1] + ws[0, 2] * x[2]
     yy = ws[1, 0] * x[0] + ws[1, 1] * x[1] + ws[1, 2] * x[2]
@@ -230,11 +319,15 @@ def eval_mask(rgb, ws, static, data):
         sel = jnp.exp(-jnp.maximum(de - data["de_range"], 0.0)
                       / (data["de_decay"] * 10.0))
         m = m * sel
+    if drawn_mode == 2:  # ADD_BOUNDED: brush before the area bound
+        m = apply_drawn(m)
     if use_area:
         area = data["area"]
         if ablur > 0:
             area = gauss_blur(area, ablur)
         m = m * area
+    if drawn_mode in (0, 1):
+        m = apply_drawn(m)
     if use_curve:
         m = eval_curve(m, data["mcurve"], in_max=1.0, out_max=1.0)
     if posterization > 0:

@@ -84,6 +84,10 @@ class KeyFile:
                     out.append(float(tok))
                 except ValueError:
                     pass
+        if not out and v.strip():
+            # modern ART packs value lists as base64 half-floats
+            # (procparams.cc pack_list :96)
+            return unpack_half_list(v.strip())
         return out
 
     # -- writing -----------------------------------------------------------
@@ -124,3 +128,29 @@ def _format_number(v) -> str:
     if f == int(f) and abs(f) < 1e15:
         return str(int(f))
     return repr(f)
+
+
+def unpack_half_list(data: str):
+    """Decode the reference's packed value list: base64 of little-endian
+    IEEE half-floats (procparams.cc unpack_list :74)."""
+    import base64
+
+    import numpy as np
+
+    try:
+        buf = base64.b64decode(data, validate=True)
+    except Exception:
+        return []
+    if len(buf) % 2:
+        buf = buf[: len(buf) - 1]
+    return [float(x) for x in np.frombuffer(buf, dtype="<f2")]
+
+
+def pack_half_list(values):
+    """Inverse of unpack_half_list (procparams.cc pack_list :96)."""
+    import base64
+
+    import numpy as np
+
+    arr = np.asarray(list(values), dtype="<f2")
+    return base64.b64encode(arr.tobytes()).decode("ascii")

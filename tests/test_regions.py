@@ -70,3 +70,38 @@ def test_grain_adds_noise():
     out = develop(frame, pp)
     base = develop(frame, ProcParams())
     assert out[:, 8:-8, 8:-8].std() > base[:, 8:-8, 8:-8].std() + 0.002
+
+
+def test_drawn_mask_modes():
+    """Brush strokes (masks.cc generate_drawn_mask): additive stamp,
+    intersect restriction, erase hole."""
+    import jax.numpy as jnp
+
+    from art_tpu.masks import MaskSpec, eval_mask, plan_mask
+
+    strokes = [3, 0.3, 1, 1.0, 0.5, 0.5, 0.52, 0.5, 0.54, 0.5]
+    h, w = 96, 128
+    rgb = jnp.full((3, h, w), 30000.0)
+    ws = jnp.asarray(np.eye(3, dtype=np.float32))
+
+    spec = MaskSpec(drawn_enabled=True, drawn_strokes=strokes, drawn_mode=0)
+    static, data = plan_mask(spec, (h, w))
+    m = np.asarray(eval_mask(rgb, ws, static,
+                             {k: jnp.asarray(v) for k, v in data.items()}))
+    assert m[48, 64] > 0.95 and m[0, 0] < 0.05
+
+    strokes_erase = strokes + [1, 0.15, 0, 1.0, 0.5, 0.5]
+    spec = MaskSpec(drawn_enabled=True, drawn_strokes=strokes_erase,
+                    drawn_mode=0)
+    static, data = plan_mask(spec, (h, w))
+    m = np.asarray(eval_mask(rgb, ws, static,
+                             {k: jnp.asarray(v) for k, v in data.items()}))
+    assert m[48, 64] < 0.05 and m[48, 72] > 0.9
+
+
+def test_packed_half_list_roundtrip():
+    from art_tpu.params.keyfile import pack_half_list, unpack_half_list
+
+    v = [2, 0.25, 1, 0.75, 0.1, 0.9, 0.2, 0.8]
+    out = unpack_half_list(pack_half_list(v))
+    np.testing.assert_allclose(out, v, atol=2e-3)
