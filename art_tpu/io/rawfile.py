@@ -202,6 +202,14 @@ def load_raw(path) -> RawFrame:
     if ext in (".dng", ".cr2", ".raf"):
         frame = dng.load_dng(path)
         _apply_camconst_levels(frame)
+        if ext != ".raf":
+            try:
+                from art_tpu.io.metadata import harvest
+
+                tags, _ = harvest(path)
+                frame.exif.update(tags)
+            except Exception:
+                pass
         return frame
     raise NotImplementedError(
         f"raw format {ext} not natively decoded yet; convert to DNG or "

@@ -206,11 +206,20 @@ def plan(frame, pp):
         import os as _os
 
         darkframe = False
-        if (pp.raw.df_enabled and pp.raw.df_file
-                and _os.path.isfile(pp.raw.df_file)):
+        df_path = pp.raw.df_file if (pp.raw.df_enabled
+                                     and pp.raw.df_file) else ""
+        if pp.raw.df_enabled and pp.raw.df_autoselect:
+            from art_tpu.raw.dfff_managers import df_manager
+
+            found = df_manager().search(
+                frame.make, frame.model, frame.iso,
+                frame.exif.get("exposure_time", 0.0))
+            if found:
+                df_path = found
+        if df_path and _os.path.isfile(df_path):
             from art_tpu.io.rawfile import load_raw as _lr
 
-            df = _lr(pp.raw.df_file)
+            df = _lr(df_path)
             if df.cfa.shape == frame.cfa.shape:
                 dfp, _ = pad_to_multiple(df.cfa, settings.pad_multiple)
                 data["df_plane"] = np.asarray(dfp, dtype=np.float32)
@@ -236,11 +245,22 @@ def plan(frame, pp):
             except Exception:
                 gainmap = False
         flatfield = None
-        if (not gainmap and pp.raw.ff_enabled and pp.raw.ff_file
-                and _os.path.isfile(pp.raw.ff_file)):
+        ff_path = pp.raw.ff_file if (pp.raw.ff_enabled
+                                     and pp.raw.ff_file) else ""
+        if not gainmap and pp.raw.ff_enabled and pp.raw.ff_autoselect:
+            from art_tpu.raw.dfff_managers import ff_manager
+
+            found = ff_manager().search(
+                frame.make, frame.model,
+                frame.exif.get("lens_model", ""),
+                frame.exif.get("focal_length", 0.0),
+                frame.exif.get("f_number", 0.0))
+            if found:
+                ff_path = found
+        if not gainmap and ff_path and _os.path.isfile(ff_path):
             from art_tpu.io.rawfile import load_raw as _lr
 
-            ff = _lr(pp.raw.ff_file)
+            ff = _lr(ff_path)
             if ff.cfa.shape == frame.cfa.shape:
                 ffp, _ = pad_to_multiple(ff.cfa, settings.pad_multiple)
                 data["ff_plane"] = np.asarray(ffp, dtype=np.float32)

@@ -23,6 +23,10 @@ class Settings:
     host_threads: int = max(1, (os.cpu_count() or 2) - 1)
     # Directory with user camconst overrides, dark frames, flat fields.
     user_dir: str | None = None
+    # Auto-select scan roots (reference dfmanager/ffmanager dir options);
+    # default to <user_dir>/darkframes and <user_dir>/flatfields
+    dark_frames_dir: str | None = None
+    flat_fields_dir: str | None = None
     # Pad images to multiples of this tile edge before jit (ARCHITECTURE.md:
     # bucket-and-pad keeps the jit cache small; 128 matches lane width).
     pad_multiple: int = 128

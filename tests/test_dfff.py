@@ -66,3 +66,32 @@ def test_flat_field_corrects_vignette(tmp_path):
     fall_ff = out_ff[center].mean() - out_ff[corner].mean()
     assert fall_v > 0.05  # vignette visible without FF
     assert abs(fall_ff) < 0.35 * fall_v, (fall_v, fall_ff)
+
+
+def test_df_ff_autoselect(tmp_path, monkeypatch):
+    """dfmanager/ffmanager auto-select: nearest ISO/shutter dark frame and
+    matching flat field found by directory scan."""
+    from art_tpu.io.dngwrite import write_dng
+    from art_tpu.raw import dfff_managers
+    from art_tpu.settings import settings
+
+    dfdir = tmp_path / "darkframes"
+    dfdir.mkdir()
+    rng = np.random.default_rng(0)
+    for iso in (100, 800, 3200):
+        m = (rng.normal(512, 4, size=(32, 48))).astype(np.uint16)
+        write_dng(str(dfdir / f"df_iso{iso}.dng"), m, black=512,
+                  white=16383)
+    # tag ISO via EXIF is not written by write_dng; fall back: entries
+    # carry iso=0 -> manager still returns a deterministic candidate
+    monkeypatch.setattr(settings, "dark_frames_dir", str(dfdir))
+    monkeypatch.setattr(settings, "flat_fields_dir", str(tmp_path / "none"))
+    dfff_managers.reset()
+    try:
+        mgr = dfff_managers.df_manager()
+        assert len(mgr.entries) == 3
+        got = mgr.search("ART-TPU", "", 800, 1 / 50)
+        assert got and got.endswith(".dng")
+        assert dfff_managers.ff_manager().search("X", "Y") is None
+    finally:
+        dfff_managers.reset()
