@@ -269,6 +269,23 @@ def plan(frame, pp):
                       "horizontal": "h", "v+h": "vh"}.get(bt, bt)
                 flatfield = (bt, int(pp.raw.ff_blur_radius))
 
+        # LCP vignette on the raw plane (rawimagesource.cc:1670-1704)
+        lp = pp.lens_prof
+        if lp.method == "lcp" and lp.lcp_file and lp.use_vign:
+            from art_tpu.lens.lcp import parse_lcp
+
+            prof = parse_lcp(lp.lcp_file)
+            if prof is not None and not prof.is_fisheye:
+                vm = prof.vignette(
+                    float(frame.exif.get("focal_length", 0.0) or 0.0),
+                    float(frame.exif.get("f_number", 0.0) or 0.0))
+                if vm is not None:
+                    x0, y0, fx, fy = vm.geometry(w, h, float(
+                        frame.exif.get("focal_length", 0.0) or 0.0))
+                    data["lcp_vign"] = np.asarray(
+                        [x0, y0, 1.0 / fx, 1.0 / fy] + list(vm.vign_param()),
+                        dtype=np.float32)
+
         # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
         hl_mode = "Off"
         if pp.exposure.enabled and pp.exposure.hrmode != "Off":
@@ -398,7 +415,7 @@ def plan(frame, pp):
 
     do_transform = frame.is_raw is not None and needs_transform(pp)
     if do_transform:
-        data["transform"] = plan_transform(pp, (h, w))
+        data["transform"] = plan_transform(pp, (h, w), frame=frame)
 
     # crop (reference stage_finish crop copy, simpleprocess.cc:357-383)
     crop = None
@@ -579,6 +596,19 @@ def _build_run(config: PipelineConfig):
                                                  cidx, bt, rad)
             cfa = rawpre.apply_scale(inp, data["raw_offset"],
                                      data["raw_scale"], jnp)
+            if "lcp_vign" in data:
+                # vignette gain series on normalized radius (lcp.cc
+                # processVignetteLine :1151)
+                v = data["lcp_vign"]
+                hh2, ww2 = cfa.shape
+                ydv = ((jnp.arange(hh2, dtype=cfa.dtype)[:, None] - v[1])
+                       * v[3]) ** 2
+                xdv = ((jnp.arange(ww2, dtype=cfa.dtype)[None, :] - v[0])
+                       * v[2]) ** 2
+                rs = xdv + ydv
+                factor = rs * (v[4] + rs * (v[5] - v[6] * rs
+                                            + v[7] * rs * rs))
+                cfa = cfa * (1.0 + factor)
             if config.badpix_file and config.pattern is not None:
                 from art_tpu.core.image import bayer_channel_masks
                 from art_tpu.raw.badpixels import interpolate_bad_bayer

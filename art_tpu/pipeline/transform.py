@@ -60,10 +60,17 @@ def needs_transform(pp):
                                         or abs(pp.perspective.vertical) > 1e-6
                                         or abs(pp.perspective.angle) > 1e-6
                                         or abs(pp.perspective.shear) > 1e-6))
+        or _lcp_geometry_active(pp)
     )
 
 
-def plan_transform(pp, shape):
+def _lcp_geometry_active(pp):
+    lp = pp.lens_prof
+    return (lp.method == "lcp" and bool(lp.lcp_file)
+            and (lp.use_dist or lp.use_ca))
+
+
+def plan_transform(pp, shape, frame=None):
     h, w = shape
     rot = pp.rotate.degree if pp.rotate.enabled else 0.0
     ang = pp.perspective.angle if pp.perspective.enabled else 0.0
@@ -84,6 +91,27 @@ def plan_transform(pp, shape):
         "shear": np.float32((pp.perspective.shear
                              if pp.perspective.enabled else 0.0) / 100.0),
     }
+    if _lcp_geometry_active(pp):
+        from art_tpu.lens.lcp import parse_lcp
+
+        prof = parse_lcp(pp.lens_prof.lcp_file)
+        focal = float((frame.exif.get("focal_length", 0.0) or 0.0)
+                      if frame is not None else 0.0)
+        if prof is not None and not prof.is_fisheye:
+            lp = pp.lens_prof
+
+            def row(m):
+                x0, y0, fx, fy = m.geometry(w, h, focal)
+                return np.asarray(
+                    [x0, y0, fx, fy] + list(m.param) + [m.scale_factor],
+                    dtype=np.float32)
+
+            base = prof.distortion(focal) if lp.use_dist else None
+            if base is not None:
+                data["lcp_dist"] = row(base)
+            chrom = prof.chromatic(focal) if lp.use_ca else None
+            if chrom is not None:
+                data["lcp_ca"] = np.stack([row(m) for m in chrom])
     return data
 
 
@@ -120,9 +148,59 @@ def apply_transform(rgb, data, method="bicubic"):
         sc = s + ch_dist[ci]
         dx = dxc * sc + w2
         dy = dyc * sc + h2
+        if "lcp_dist" in data or "lcp_ca" in data:
+            dx, dy = _lcp_map(dx, dy, ci, data)
         if method == "bicubic":
             out.append(_sample_bicubic(rgb[ci], dy, dx))
         else:
             out.append(map_coordinates(rgb[ci], [dy, dx], order=1,
                                        mode="constant", cval=0.0))
     return jnp.stack(out)
+
+
+def _lcp_model_fwd(xd, yd, p, with_scale=False):
+    """Adobe rectilinear model (lcp.cc correctDistortion :1062-1080):
+    normalized undistorted -> distorted coordinates. p is the 10-row
+    [x0, y0, fx, fy, a0, a1, a2, t1, t2, scale]."""
+    a0, a1, a2 = p[4], p[5], p[6]
+    yfac, xfac = p[7], p[8]  # param[3], param[4] (no axis swap)
+    rsqr = xd * xd + yd * yd
+    common = (((a2 * rsqr + a1) * rsqr + a0) * rsqr + 1.0
+              + 2.0 * (yfac * yd + xfac * xd))
+    xn = xd * common + xfac * rsqr
+    yn = yd * common + yfac * rsqr
+    if with_scale:
+        xn = xn * p[9]
+        yn = yn * p[9]
+    return xn, yn
+
+
+def _lcp_map(dx, dy, ci, data):
+    """Apply the LCP distortion (+ per-channel CA) to absolute pixel
+    coordinates (lcp.cc correctDistortion/correctCA)."""
+    if "lcp_dist" in data:
+        p = data["lcp_dist"]
+        xd = (dx - p[0]) / p[2]
+        yd = (dy - p[1]) / p[3]
+        xn, yn = _lcp_model_fwd(xd, yd, p)
+        dx = xn * p[2] + p[0]
+        dy = yn * p[3] + p[1]
+    if "lcp_ca" in data:
+        pg = data["lcp_ca"][1]
+        xd = (dx - pg[0]) / pg[2]
+        yd = (dy - pg[1]) / pg[3]
+        if "lcp_dist" not in data:
+            # CA models carry the main distortion when it isn't applied
+            # separately (correctCA useCADist)
+            xg, yg = _lcp_model_fwd(xd, yd, pg)
+        else:
+            xg, yg = xd, yd
+        if ci == 1:
+            dx = xg * pg[2] + pg[0]
+            dy = yg * pg[3] + pg[1]
+        else:
+            pc = data["lcp_ca"][0 if ci == 0 else 2]
+            xn, yn = _lcp_model_fwd(xg, yg, pc, with_scale=True)
+            dx = xn * pc[2] + pc[0]
+            dy = yn * pc[3] + pc[1]
+    return dx, dy
