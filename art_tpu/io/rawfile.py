@@ -211,6 +211,15 @@ def load_raw(path) -> RawFrame:
             except Exception:
                 pass
         return frame
+    # external preconverter hook (imgiomanager.cc loadRaw :510)
+    from art_tpu.io.iomanager import get_instance
+
+    dng_path = get_instance().preconvert_raw(path)
+    if dng_path:
+        frame = dng.load_dng(dng_path)
+        frame.filename = str(path)
+        _apply_camconst_levels(frame)
+        return frame
     raise NotImplementedError(
         f"raw format {ext} not natively decoded yet; convert to DNG or "
         "register an external preconverter"
