@@ -210,6 +210,7 @@ def plan(pp, ctx):
 
     mode = mode1
     if mode == "Perceptual":
+        from art_tpu.color.ciecam02 import ViewingConditions
         from art_tpu.color.colorspaces import MATRICES_RGB_TO_XYZ
 
         work = ctx["working_profile"]
@@ -217,12 +218,20 @@ def plan(pp, ctx):
         p2x = MATRICES_RGB_TO_XYZ["ProPhoto"]
         contrast_value = _curve_contrast_value(lut)
         cmul = float(np.interp(contrast_value, _CF_X, _CF_Y))
+        # viewing conditions of PerceptualToneCurve::init (curves.cc:765-
+        # 771): yb=20, la=20, average surround, D50/ProPhoto white
+        wp = p2x @ np.ones(3) * 100.0
+        k = ViewingConditions(white=tuple(wp), la=20.0, yb=20.0).constants()
+        cam = np.array([k["c"], k["nc"], k["n"], k["z"], k["fl"],
+                        k["nbb"], k["ncb"], k["aw"], *k["d_rgb"]],
+                       dtype=np.float32)
         data = {
             "coeffs": fit_curve(lut),
             "w2p": (np.linalg.inv(p2x) @ w2x).astype(np.float32),
             "p2w": (np.linalg.inv(w2x) @ p2x).astype(np.float32),
             "pws": p2x.astype(np.float32),
             "pws_inv": np.linalg.inv(p2x).astype(np.float32),
+            "cam": cam,
             "cmul": np.float32(cmul),
             "strength": np.float32(
                 np.clip(tc.perceptual_strength / 100.0, 0.0, 1.0)),
@@ -288,8 +297,11 @@ def _apply_perceptual(rgb, data):
     contrast. Deviation: the chroma modulation runs in Jzazbz (our
     appearance space elsewhere) instead of CIECAM02 JCh; the saturated/
     shadow guards use equivalent normalized thresholds."""
-    from art_tpu.color import jzazbz
-    from art_tpu.ops.tonecurve_neutral import _mat3
+    def _mat3(m, p):
+        return jnp.stack([
+            m[0, 0] * p[0] + m[0, 1] * p[1] + m[0, 2] * p[2],
+            m[1, 0] * p[0] + m[1, 1] * p[1] + m[1, 2] * p[2],
+            m[2, 0] * p[0] + m[2, 1] * p[1] + m[2, 2] * p[2]])
 
     coeffs = data["coeffs"]
     strength = data["strength"]
@@ -324,27 +336,63 @@ def _apply_perceptual(rgb, data):
     lcoef = new_y / jnp.maximum(old_y, 1e-5)
     scaled = jnp.clip(pro * lcoef, 0.0, MAXVAL)
 
-    # chroma modulation (Jzazbz stand-in for CIECAM02 JCh)
-    sp = scaled / MAXVAL
-    jz, cz, hz = jzazbz.rgb_to_jzczhz(sp[0], sp[1], sp[2], data["pws"])
-    cnorm = cz / jnp.maximum(jz, 1e-6)  # saturation-like, ~0..1+
+    # chroma modulation in CIECAM02 JCh (curves.cc:571-680)
+    from art_tpu.color import ciecam02 as cam02
+
+    camv = data["cam"]
+    k = {"c": camv[0], "nc": camv[1], "n": camv[2], "z": camv[3],
+         "fl": camv[4], "nbb": camv[5], "ncb": camv[6], "aw": camv[7],
+         "d_rgb": (camv[8], camv[9], camv[10])}
+    pws = data["pws"]
+    sp = scaled * (100.0 / MAXVAL)
+    xc = pws[0, 0] * sp[0] + pws[0, 1] * sp[1] + pws[0, 2] * sp[2]
+    yc = pws[1, 0] * sp[0] + pws[1, 1] * sp[1] + pws[1, 2] * sp[2]
+    zc = pws[2, 0] * sp[0] + pws[2, 1] * sp[1] + pws[2, 2] * sp[2]
+    J, C, hh = cam02.xyz_to_jch(xc, yc, zc, k, xp=jnp)
     cmul = data["cmul"]
-    # saturated colors: ease the scaling off (lolim 35 hilim 60 of C~100)
-    tsat = _scurve(jnp.clip((cnorm - 0.35) / 0.25, 0.0, 1.0))
+    # saturated colors: ease the scaling off (C lolim 35 hilim 60)
+    tsat = _scurve(jnp.clip((C - 35.0) / 25.0, 0.0, 1.0))
     cmul_px = cmul * ((1.0 - tsat) + 0.95 * tsat)
-    # shadows: slightly stronger chroma (gamma-encoded Y 0.15..0.50)
+    # brighter areas: fade the extra shadow chroma (gamma Y 0.15..0.50)
     ny = jnp.where(new_y / MAXVAL <= 0.0031308, new_y / MAXVAL * 12.92,
                    1.055 * jnp.maximum(new_y / MAXVAL, 1e-9) ** (1 / 2.4)
                    - 0.055)
     tdark = _scurve(jnp.clip((ny - 0.15) / 0.35, 0.0, 1.0))
     cmul_px = cmul_px * (1.20 * (1.0 - tdark) + tdark)
-    # near-black: fade scaling to 1 (J lolim 4 hilim 7 of 100)
-    tblack = _scurve(jnp.clip((jz / 0.01 - 0.4) / 0.3, 0.0, 1.0))
+    # near-black: fade scaling to 1 (J lolim 4 hilim 7)
+    tblack = _scurve(jnp.clip((J - 4.0) / 3.0, 0.0, 1.0))
     cmul_px = (1.0 - tblack) + cmul_px * tblack
 
-    r2, g2, b2 = jzazbz.jzczhz_to_rgb(jz, cz * cmul_px, hz, data["pws_inv"])
-    out = _mat3(data["p2w"], jnp.clip(jnp.stack([r2, g2, b2]), 0.0, 1.0)
-                * MAXVAL)
+    x2, y2, z2 = cam02.jch_to_xyz(J, C * cmul_px, hh, k, xp=jnp)
+    piv = data["pws_inv"]
+    r2 = piv[0, 0] * x2 + piv[0, 1] * y2 + piv[0, 2] * z2
+    g2 = piv[1, 0] * x2 + piv[1, 1] * y2 + piv[1, 2] * z2
+    b2 = piv[2, 0] * x2 + piv[2, 1] * y2 + piv[2, 2] * z2
+    pro2 = jnp.clip(jnp.stack([r2, g2, b2]) * (MAXVAL / 100.0),
+                    0.0, MAXVAL)
+
+    # limit saturation increase vs the hue-stable Adobe curve
+    # (curves.cc:700-740): mix it back in where chroma scaling pushed
+    # HSV saturation >20% past it
+    def hsv_s(p):
+        mx2 = jnp.maximum(jnp.maximum(p[0], p[1]), p[2])
+        mn2 = jnp.minimum(jnp.minimum(p[0], p[1]), p[2])
+        return jnp.where(mx2 > 0, (mx2 - mn2) / jnp.maximum(mx2, 1e-9),
+                         0.0)
+
+    s_new = hsv_s(pro2)
+    s_adobe = hsv_s(adobe)
+    sat_scale = jnp.where(s_adobe > 0, s_new / jnp.maximum(s_adobe, 1e-9),
+                          1.0)
+    tkeep = _scurve(jnp.clip((sat_scale - 1.0) / 0.2, 0.0, 1.0))
+    keep = (1.0 - tkeep) + 0.2 * tkeep
+    pro2 = keep[None] * pro2 + (1.0 - keep[None]) * adobe
+
+    # non-finite guard (rim-of-gamut colors): fall back to the curve
+    bad = ~jnp.isfinite(pro2).all(axis=0)
+    pro2 = jnp.where(bad[None], jnp.clip(adobe, 0.0, MAXVAL), pro2)
+
+    out = _mat3(data["p2w"], pro2)
     out = strength * out + (1.0 - strength) * std
     # hard clip fast paths (all-white / all-black from the adobe curve)
     white = jnp.all(adobe >= MAXVAL, axis=0)
