@@ -35,10 +35,14 @@ from art_tpu.core.image import BAYER_PATTERNS
 from art_tpu.demosaic.amaze import _stages_1to4, _stages_5to6, _stages_7to8
 
 TILE_Y = 256  # rectangular tiles: wide cols cut the halo compute overhead
-TILE_X = 1024
-PAD_Y = 16   # row halo (sublane-aligned; max stage reach is ~13)
-PAD_X = 128  # col halo: DMA writes into the pad-ringed buffers must be
-             # lane-aligned (Mosaic: tile index divisible by 128)
+TILE_X = 2048
+HALO_Y = 16  # row stencil halo (max stage reach is ~13, rounded to 16)
+HALO_X = 128  # col halo: Mosaic requires DMA column slices (start AND
+              # width) to be lane (128) aligned, so the halo cannot shrink
+              # below 128; instead the 256 wasted columns are amortized
+              # over a 2048-wide tile (overhead 1.27x vs 1.41x at 1024)
+PAD_Y = 16   # buffer ring, rows
+PAD_X = 128  # buffer ring, cols (matches HALO_X)
 
 
 def _parity_masks(pattern, shape):
@@ -59,7 +63,7 @@ def _parity_masks(pattern, shape):
 
 
 def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
-                vmem_mb=100, final=False):
+                vmem_mb=118, final=False):
     """Build a halo-window pallas_call for one stage function.
 
     Inputs: clips SMEM array + len(in_planes) HBM buffers; in_planes[k] is
@@ -69,7 +73,8 @@ def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
     """
     h, w = shape
     grid = (h // TILE_Y, w // TILE_X)
-    wy, wx = TILE_Y + 2 * PAD_Y, TILE_X + 2 * PAD_X
+    wy, wx = TILE_Y + 2 * HALO_Y, TILE_X + 2 * HALO_X
+    oy, ox = PAD_Y - HALO_Y, PAD_X - HALO_X  # window offset inside the ring
     n_in = len(in_planes)
 
     def kernel(clips_ref, *refs):
@@ -87,9 +92,11 @@ def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
         for k in range(n_in):
             src = ins[k]
             if in_planes[k] > 1:
-                src = src.at[:, pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)]
+                src = src.at[:, pl.ds(i * TILE_Y + oy, wy),
+                             pl.ds(j * TILE_X + ox, wx)]
             else:
-                src = src.at[pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)]
+                src = src.at[pl.ds(i * TILE_Y + oy, wy),
+                             pl.ds(j * TILE_X + ox, wx)]
             copy = pltpu.make_async_copy(src, wins[k], sem)
             copy.start()
             copy.wait()
@@ -112,12 +119,12 @@ def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
             rgb = _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt)
             res = (rgb,)
         if final:
-            out[:] = res[0][:, PAD_Y : PAD_Y + TILE_Y,
-                            PAD_X : PAD_X + TILE_X]
+            out[:] = res[0][:, HALO_Y : HALO_Y + TILE_Y,
+                            HALO_X : HALO_X + TILE_X]
         else:
             for c, val in enumerate(res):
-                ostage[c] = val[PAD_Y : PAD_Y + TILE_Y,
-                                PAD_X : PAD_X + TILE_X]
+                ostage[c] = val[HALO_Y : HALO_Y + TILE_Y,
+                                HALO_X : HALO_X + TILE_X]
             wr = pltpu.make_async_copy(
                 ostage,
                 out.at[:, pl.ds(i * TILE_Y + PAD_Y, TILE_Y),
