@@ -34,7 +34,10 @@ def _usage():
         "  -b<8|16>     bit depth (TIFF/PNG)\n"
         "  -Y           overwrite existing output\n"
         "  -q           fast export mode\n"
+        "  --progress   machine-readable progress protocol\n"
         "  --devices N  shard batch over N devices\n"
+        "  --make-icc -p <preset> -d <desc> -o <file>  generate an ICC\n"
+        "  --check-lut <file>  validate a LUT file loads\n"
     )
 
 
@@ -53,6 +56,7 @@ def parse_args(argv):
         "fast": False,
         "devices": 0,
         "bench": False,
+        "progress": False,
     }
     i = 0
     while i < len(argv):
@@ -94,6 +98,8 @@ def parse_args(argv):
             i += 1
         elif a == "--bench":
             opts["bench"] = True
+        elif a == "--progress":
+            opts["progress"] = True
         elif a in ("-h", "--help"):
             _usage()
             raise SystemExit(0)
@@ -148,11 +154,72 @@ def output_path_for(inp, opts):
     return out
 
 
+def make_icc_main(args):
+    """--make-icc (rtgui/makeicc.cc ART_makeicc_main): preset primaries +
+    TRC to an .icc file. Supported subset: -p preset, -t TRC name,
+    -d description, -o output, -v2 accepted."""
+    from art_tpu.color.iccwrite import make_icc
+
+    preset, desc, out = "sRGB", None, None
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "-p":
+            preset = args[i + 1]
+            i += 1
+        elif a == "-d":
+            desc = args[i + 1]
+            i += 1
+        elif a == "-o":
+            out = args[i + 1]
+            i += 1
+        elif a in ("-t", "-g", "-s", "-w", "-i"):
+            i += 1  # accepted; preset TRCs are used
+        elif a == "-c":
+            i += 6
+        i += 1
+    if not out:
+        print("ERROR: -o output name is mandatory", file=sys.stderr)
+        return 1
+    names = {"srgb": "sRGB", "adobergb": "Adobe RGB",
+             "prophoto": "ProPhoto", "rec2020": "Rec2020",
+             "acesp0": "ACESp0", "acesp1": "ACESp1"}
+    prof = names.get(preset.lower().replace(" ", ""), preset)
+    data = make_icc(prof, desc)
+    if data is None:
+        print(f"ERROR: unknown primaries preset {preset}", file=sys.stderr)
+        return 1
+    with open(out, "wb") as f:
+        f.write(data)
+    return 0
+
+
+def check_lut_main(args):
+    """--check-lut (main-cli.cc:105-126): exit 0 iff the LUT loads."""
+    if not args:
+        print("invalid arguments to --check-lut")
+        return 2
+    try:
+        from art_tpu.color.lut3d import load_lut3d
+
+        lut = load_lut3d(args[0])
+        if lut is None:
+            raise ValueError("unrecognized LUT")
+    except Exception:
+        print(f"Invalid LUT file: {args[0]}")
+        return 1
+    return 0
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
         _usage()
         return 1
+    if argv[0] == "--make-icc":
+        return make_icc_main(argv[1:])
+    if argv[0] == "--check-lut":
+        return check_lut_main(argv[1:])
     opts = parse_args(argv)
     if not opts["inputs"]:
         print("error: no input files (-c)", file=sys.stderr)
@@ -186,6 +253,14 @@ def main(argv=None):
         return 0 if all(results) else 2
 
     errors = 0
+    n_files = max(len(opts["inputs"]), 1)
+    done = 0
+
+    def _progress(pct):
+        # GIMP-plugin protocol (main-cli.cc:297-350): bare percent lines
+        if opts.get("progress"):
+            print(f"\n{min(int(pct), 99)}", flush=True)
+
     for inp in opts["inputs"]:
         pp = compose_params(inp, opts)
         if pp is None:
@@ -199,10 +274,13 @@ def main(argv=None):
         bits = opts["bits"] or (8 if (opts["format"] or "jpg") == "jpg" else
                                 16 if opts["format"] == "tif" else 8)
         try:
+            _progress(done * 100.0 / n_files)
             t0 = time.time()
             process_image(inp, pp, fast=opts["fast"], output_path=outp,
                           bits=bits, quality=opts["quality"])
             dt = time.time() - t0
+            done += 1
+            _progress(done * 100.0 / n_files)
             if opts["bench"]:
                 print(f"{inp} -> {outp} ({dt*1000:.0f} ms)")
             else:

@@ -89,3 +89,22 @@ def test_camconst_reference_db():
     assert c.white_levels(160) == [13200.0] * 4
     assert c.dcraw_matrix()[0] == 6722.0
     assert cc.get("Nonexistent", "Camera") is None
+
+
+def test_cli_make_icc_and_check_lut(tmp_path):
+    """--make-icc / --check-lut entry points (main-cli.cc:105-146)."""
+    import os
+
+    from art_tpu.cli import check_lut_main, make_icc_main
+
+    out = str(tmp_path / "o.icc")
+    assert make_icc_main(["-p", "ProPhoto", "-d", "X", "-o", out]) == 0
+    assert os.path.getsize(out) > 500
+    assert make_icc_main(["-p", "nope", "-o", str(tmp_path / "n.icc")]) == 1
+
+    cube = tmp_path / "t.cube"
+    cube.write_text("LUT_3D_SIZE 2\n" + "0 0 0\n" * 8)
+    assert check_lut_main([str(cube)]) == 0
+    bad = tmp_path / "bad.cube"
+    bad.write_text("nonsense\n")
+    assert check_lut_main([str(bad)]) == 1
