@@ -19,16 +19,37 @@ from art_tpu.core.image import MAXVAL
 _lut_cache: dict = {}
 
 
+def _parse_lut_params(raw):
+    """"name=v1,v2;..." -> {name: scalar} (procparams.cc load_lut_params)."""
+    out = {}
+    for item in (raw or "").split(";"):
+        item = item.strip()
+        if "=" not in item:
+            continue
+        name, _, vs = item.partition("=")
+        vals = [float(v) for v in vs.split(",") if v.strip()]
+        if vals:
+            out[name.strip()] = vals[0] if len(vals) == 1 else vals
+    return out
+
+
 def _plan_common(pp, ctx, want_after):
     fs = pp.film_simulation
     if not fs.enabled or not fs.clut_filename:
         return None
     if bool(fs.after_tone_curve) != want_after:
         return None
-    key = fs.clut_filename
+    key = (fs.clut_filename, fs.clut_params)
     if key not in _lut_cache:
         try:
-            _lut_cache[key] = load_lut3d(fs.clut_filename)
+            if fs.clut_filename.lower().endswith(".json"):
+                # external LUT generator config (extclut.cc)
+                from art_tpu.color.extclut import get_external_lut
+
+                vals = _parse_lut_params(fs.clut_params)
+                _lut_cache[key] = get_external_lut(fs.clut_filename, vals)
+            else:
+                _lut_cache[key] = load_lut3d(fs.clut_filename)
         except (OSError, ValueError):
             _lut_cache[key] = None
     table = _lut_cache[key]

@@ -697,11 +697,15 @@ class FilmSimulationParams(ParamGroup):
     ARP_SPEC = _spec(
         enabled=("Enabled", "b"), clut_filename=("ClutFilename", "s"),
         strength=("Strength", "i"), after_tone_curve=("AfterToneCurve", "b"),
+        clut_params=("ClutParams", "s"),
     )
     enabled: bool = False
     clut_filename: str = ""
     strength: int = 100
     after_tone_curve: bool = False
+    # external/CTL LUT parameter values: "name=v1,v2;name2=v;" (reference
+    # save_lut_params procparams.cc:3483)
+    clut_params: str = ""
 
 
 @dataclass
