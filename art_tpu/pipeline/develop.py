@@ -413,6 +413,18 @@ def plan(frame, pp):
     # geometric transform (stage_transform, iptransform.cc)
     from art_tpu.pipeline.transform import needs_transform, plan_transform
 
+    # auto-distortion (simpleprocess.cc:333: getAutoDistor before the
+    # transform plan); mutate a copy so the caller's pp stays untouched
+    if (pp.distortion.enabled and pp.distortion.auto_compute
+            and frame.is_raw and frame.cfa is not None):
+        from art_tpu.lens.autos import auto_distortion_for
+
+        amt = auto_distortion_for(frame)
+        if amt != 0.0:
+            import copy as _copy
+
+            pp = _copy.deepcopy(pp)
+            pp.distortion.amount = amt
     do_transform = frame.is_raw is not None and needs_transform(pp)
     if do_transform:
         data["transform"] = plan_transform(pp, (h, w), frame=frame)
