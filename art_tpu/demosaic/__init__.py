@@ -25,7 +25,12 @@ def demosaic(cfa, pattern, method="amaze", xp=None, xtrans=None, **kwargs):
         import jax.numpy as jnp
 
         return jnp.stack([cfa, cfa, cfa])
-    # quality methods land in later milestones; route to the best available
+    # legacy methods without a dedicated kernel route to the nearest
+    # modern equivalent (the reference itself retired several of these):
+    # EAHD/HPHD are homogeneity-directed like AHD; PPG's gradient
+    # grouping is closest to RCD; JDL shares IGV's lineage.
+    aliases = {"eahd": "ahd", "hphd": "ahd", "ppg": "rcd", "jdl": "igv"}
+    method = aliases.get(method, method)
     from art_tpu.demosaic import registry
 
     fn = registry.get(method)

@@ -47,3 +47,7 @@ def _populate():
         from art_tpu.demosaic import dcb  # noqa: F401
     except ImportError:
         pass
+    try:
+        from art_tpu.demosaic import ahd  # noqa: F401
+    except ImportError:
+        pass

@@ -339,3 +339,21 @@ def test_pixelshift_motion_fallback():
     blk = (slice(None), slice(34, 46), slice(44, 56))
     assert np.abs(out[blk] - rgb[blk]).mean() < 0.5 * np.abs(
         ref[blk] - rgb[blk]).mean()
+
+
+@pytest.mark.parametrize("pattern", ["RGGB", "GBRG"])
+def test_ahd_reconstructs_smooth(pattern):
+    rgb = smooth_image()
+    cfa = mosaic_of(rgb, pattern)
+    out = np.asarray(demosaic(cfa, pattern, "ahd"))
+    err = np.abs(out - rgb)[:, 8:-8, 8:-8] / 65535.0
+    assert err.mean() < 0.004, err.mean()
+
+
+def test_ahd_beats_bilinear_on_edges():
+    rgb = edge_image()
+    cfa = mosaic_of(rgb, "RGGB")
+    a = np.asarray(demosaic(cfa, "RGGB", "ahd"))
+    b = np.asarray(demosaic(cfa, "RGGB", "bilinear"))
+    sl = (slice(None), slice(8, -8), slice(8, -8))
+    assert np.abs(a[sl] - rgb[sl]).mean() < np.abs(b[sl] - rgb[sl]).mean()
