@@ -3,9 +3,10 @@
 // Scope (ARCHITECTURE.md / SURVEY §7 decision 2): the formats named by the
 // build plan — DNG (TIFF/EP container: uncompressed, bit-packed and
 // lossless-JPEG LJ92/ITU-T81-process-14 payloads), Canon CR2 (sliced
-// lossless JPEG + MakerNote SensorInfo/ColorData), and classic Fuji RAF
-// (big-endian container, CFA-header records, uncompressed X-Trans/Bayer
-// payloads) — decoded natively on host and handed to the device pipeline
+// lossless JPEG + MakerNote SensorInfo/ColorData), Nikon NEF (lossless
+// type-2 bitstream + MakerNote linearization header), and classic Fuji
+// RAF (big-endian container, CFA-header records, uncompressed
+// X-Trans/Bayer payloads) — decoded natively on host and handed to the device pipeline
 // as a float32 CFA plane plus levels/matrices/WB metadata. Other camera
 // formats route through DNG conversion or external preconverters, the
 // same escape hatch the reference exposes (rtengine/imgiomanager.h).
@@ -729,6 +730,281 @@ static uint16_t* decode_cr2(const Reader& r, const std::vector<IFD>& ifds,
 }
 
 // ---------------------------------------------------------------------------
+// Nikon NEF, lossless-compressed (reference decode boundary:
+// rtengine/dcraw.cc nikon_load_raw; fresh implementation from the public
+// NEF format description). Scope: compression 34713 with the type-2
+// lossless bitstream (12/14-bit), the MakerNote linearization-table
+// header (version bytes, initial predictors, curve) and the classic
+// unencrypted WB tag; encrypted ColorBalance WB falls back to the
+// matrix-derived estimate on the Python side.
+// ---------------------------------------------------------------------------
+
+// The fixed NEF huffman code tables, indexed by (version, bit depth):
+// pairs of (code length in bits, diff bit count). These are format
+// constants from the public specification.
+struct NefTree {
+    uint8_t bits[16];   // count of codes per length, 1..16 (JPEG style)
+    uint8_t vals[20];
+};
+
+// The six fixed code tables of the NEF bitstream, JPEG-DHT style
+// (counts per code length + symbols; symbols encode shift<<4 | length
+// for the lossy trees). Format constants of the public NEF spec, in
+// canonical order: 12-bit lossy / lossy-after-split / lossless, then
+// the 14-bit trio.
+static const NefTree kNefTrees[6] = {
+    {{0,1,5,1,1,1,1,1,1,2,0,0,0,0,0,0},
+     {5,4,3,6,2,7,1,0,8,9,11,10,12}},
+    {{0,1,5,1,1,1,1,1,1,2,0,0,0,0,0,0},
+     {0x39,0x5a,0x38,0x27,0x16,5,4,3,2,1,0,11,12,12}},
+    {{0,1,4,2,3,1,2,0,0,0,0,0,0,0,0,0},
+     {5,4,6,3,7,2,8,1,9,0,10,11,12}},
+    {{0,1,4,3,1,1,1,1,1,2,0,0,0,0,0,0},
+     {5,6,4,7,8,3,9,2,1,0,10,11,12,13,14}},
+    {{0,1,5,1,1,1,1,1,1,1,2,0,0,0,0,0},
+     {8,0x5c,0x4b,0x3a,0x29,7,6,5,4,3,2,1,0,13,14}},
+    {{0,1,4,2,2,3,1,2,0,0,0,0,0,0,0,0},
+     {7,6,8,5,9,4,10,3,11,12,2,0,1,13,14}},
+};
+
+static void build_nef_hufftable(const NefTree& t, HuffTable& h) {
+    int total = 0;
+    int code = 0, k = 0;
+    for (int i = 0; i < (int)sizeof(t.vals); ++i) h.vals[i] = t.vals[i];
+    for (int l = 1; l <= 16; ++l) {
+        int cnt = t.bits[l - 1];  // counts are stored for lengths 1..16
+        h.valptr[l] = k;
+        h.mincode[l] = code;
+        code += cnt;
+        k += cnt;
+        h.maxcode[l] = cnt ? code - 1 : -1;
+        code <<= 1;
+        total += cnt;
+    }
+    h.maxcode[17] = 0x7FFFFFFF;
+    h.valid = total > 0;
+}
+
+// MSB-first bit reader without JPEG marker stuffing
+struct RawBitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint64_t bits = 0;
+    int nbits = 0;
+
+    RawBitReader(const uint8_t* p_, const uint8_t* e_) : p(p_), end(e_) {}
+    void fill() {
+        while (nbits <= 48) {
+            uint8_t b = (p < end) ? *p++ : 0;
+            bits = (bits << 8) | b;
+            nbits += 8;
+        }
+    }
+    int get(int n) {
+        if (n == 0) return 0;
+        if (nbits < n) fill();
+        int v = (int)((bits >> (nbits - n)) & ((1ull << n) - 1));
+        nbits -= n;
+        return v;
+    }
+};
+
+static int nef_huff_decode(RawBitReader& br, const HuffTable& h) {
+    int code = br.get(1);
+    int l = 1;
+    while (l <= 16 && code > h.maxcode[l]) {
+        code = (code << 1) | br.get(1);
+        ++l;
+    }
+    if (l > 16) return -1;
+    return h.vals[h.valptr[l] + code - h.mincode[l]];
+}
+
+static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
+                            ArtRawMeta* meta) {
+    // raw IFD: compression 34713
+    const IFD* raw = nullptr;
+    for (auto& ifd : ifds)
+        if ((int)ifd.num(259, 0) == 34713) { raw = &ifd; break; }
+    if (!raw) return nullptr;
+    int width = (int)raw->num(256, 0);
+    int height = (int)raw->num(257, 0);
+    int bps = (int)raw->num(258, 12);
+    if (width <= 0 || height <= 0 || (bps != 12 && bps != 14))
+        return nullptr;
+    const TagValue* so = raw->find(273);
+    if (!so || so->nums.empty()) return nullptr;
+    size_t off = (size_t)so->nums[0];
+    if (off >= r.len) return nullptr;
+
+    // MakerNote: "Nikon\0..\0" + embedded TIFF at +10; tag offsets are
+    // relative to that embedded base
+    const TagValue* mn = nullptr;
+    for (auto& ifd : ifds) {
+        const TagValue* v = ifd.find(0x927C);
+        if (v && v->off) { mn = v; break; }
+    }
+    int ver0 = 0x46, ver1 = 0x30;
+    uint16_t vpred[2][2] = {{(uint16_t)(1 << (bps - 1)),
+                             (uint16_t)(1 << (bps - 1))},
+                            {(uint16_t)(1 << (bps - 1)),
+                             (uint16_t)(1 << (bps - 1))}};
+    std::vector<uint16_t> curve;
+    int split = 0;
+    double wb[4] = {0, 0, 0, 0};
+    if (mn && mn->off + 18 < r.len
+        && memcmp(r.buf + mn->off, "Nikon", 5) == 0) {
+        size_t base = mn->off + 10;
+        Reader mr{r.buf, r.len, r.little};
+        if (r.buf[base] == 'I') mr.little = true;
+        else if (r.buf[base] == 'M') mr.little = false;
+        uint32_t ifdoff = mr.u32(base + 4);
+        IFD nifd;
+        std::vector<uint32_t> subs;
+        // parse with offsets relative to `base`: shift reader
+        Reader nr{r.buf + base, r.len - base, mr.little};
+        parse_ifd(nr, ifdoff, nifd, subs, 3);
+        const TagValue* lt = nifd.find(0x96);
+        if (lt && lt->off && base + lt->off + 12 < r.len) {
+            const uint8_t* d = r.buf + base + lt->off;
+            ver0 = d[0];
+            ver1 = d[1];
+            size_t p = 2;
+            if (ver0 == 0x49 || ver1 == 0x58) p += 2110;
+            for (int i = 0; i < 2; ++i)
+                for (int j = 0; j < 2; ++j) {
+                    vpred[i][j] = nr.u16(lt->off + p);
+                    p += 2;
+                }
+            int csize = nr.u16(lt->off + p);
+            p += 2;
+            int step = 0;
+            if (ver0 == 0x44 && (ver1 == 0x20 || ver1 == 0x40) && csize > 1)
+                step = ((1 << bps) - 1) / (csize - 1);
+            if (step) {
+                curve.resize(1 << bps);
+                for (int i = 0; i < csize; ++i) {
+                    int v = nr.u16(lt->off + p + 2 * i);
+                    curve[i * step] = (uint16_t)v;
+                }
+                // linear interp between points
+                for (int i = 0; i < (int)curve.size() - 1; ++i) {
+                    if (i % step) {
+                        int i0 = (i / step) * step;
+                        int i1 = std::min(i0 + step,
+                                          (int)curve.size() - 1);
+                        curve[i] = (uint16_t)(curve[i0]
+                            + ((long)(curve[i1] - curve[i0]) * (i - i0))
+                              / std::max(i1 - i0, 1));
+                    }
+                }
+                if (ver1 != 0x20) {
+                    split = nr.u16(lt->off + p + 2 * csize);
+                }
+            }
+        }
+        const TagValue* wbt = nifd.find(0x0C);  // classic WB R,B,G1,G2
+        if (wbt && wbt->nums.size() >= 4) {
+            wb[0] = wbt->nums[0];
+            wb[2] = wbt->nums[1];
+            wb[1] = wbt->nums[2];
+            wb[3] = wbt->nums[3];
+        }
+    }
+
+    // tree selection (public NEF spec): base tree by version, +3 for 14b
+    int tree = 0;
+    if (ver0 == 0x46) tree = 2;
+    if (bps == 14) tree += 3;
+    HuffTable huff;
+    build_nef_hufftable(kNefTrees[tree], huff);
+    if (!huff.valid) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)width * height,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+    RawBitReader br(r.buf + off, r.buf + r.len);
+    int maxval = (1 << bps) - 1;
+    uint16_t pred[2][2];
+    memcpy(pred, vpred, sizeof(pred));
+    bool ok = true;
+    for (int row = 0; row < height && ok; ++row) {
+        if (split && row == split) {
+            // lossy type streams switch trees mid-image; not in scope
+            ok = false;
+            break;
+        }
+        for (int col = 0; col < width; ++col) {
+            int t = nef_huff_decode(br, huff);
+            if (t < 0) { ok = false; break; }
+            int len = t & 15;
+            int shl = t >> 4;
+            int diff = 0;
+            if (len > 0) {
+                int nb = len - shl;
+                int bitsv = nb > 0 ? br.get(nb) : 0;
+                diff = (((bitsv << 1) + 1) << shl) >> 1;
+                if ((diff & (1 << (len - 1))) == 0)
+                    diff -= (1 << len) - (shl ? 0 : 1);
+            }
+            int idx = col & 1;
+            int val;
+            if (col < 2) {
+                pred[row & 1][idx] = (uint16_t)(pred[row & 1][idx] + diff);
+                val = pred[row & 1][idx];
+            } else {
+                val = out[(size_t)row * width + col - 2] + diff;
+                // raw-domain value stored; curve applied after the loop
+            }
+            val &= 0xFFFF;
+            out[(size_t)row * width + col] = (uint16_t)val;
+        }
+    }
+    if (!ok) { free(out); return nullptr; }
+    // apply linearization curve (lossy variants); clamp to bps range
+    for (size_t i = 0; i < (size_t)width * height; ++i) {
+        int v = out[i];
+        if (!curve.empty())
+            v = curve[std::min(v, (int)curve.size() - 1)];
+        else
+            v = std::min(v, maxval);
+        out[i] = (uint16_t)v;
+    }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    meta->orientation = (int)ifds[0].num(274, 1);
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    // Nikon CFA: RGGB on most bodies (camconst overrides per model)
+    const TagValue* cfa = raw->find(33422);
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] =
+            (cfa && cfa->nums.size() >= 4) ? (int)cfa->nums[i] : rggb[i];
+    double wmax = curve.empty() ? (double)maxval
+                                : (double)curve[curve.size() - 1];
+    for (int i = 0; i < 4; ++i) meta->white[i] = wmax;
+    meta->iso = 100.0;
+    for (auto& ifd : ifds) {
+        const TagValue* iso = ifd.find(34855);
+        if (iso && !iso->nums.empty()) { meta->iso = iso->nums[0]; break; }
+    }
+    if (wb[0] > 0 && wb[1] > 0 && wb[2] > 0) {
+        meta->as_shot_neutral[0] = wb[1] / wb[0];
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = wb[1] / wb[2];
+    }
+    const TagValue* mk = ifds[0].find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifds[0].find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // Fuji RAF (reference decode boundary: rtengine/dcraw.cc parse_fuji; fresh
 // implementation from the public RAF container description). Scope:
 // the classic layout — big-endian container, CFA-header record list,
@@ -901,6 +1177,12 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     // Canon CR2: TIFF with "CR" magic at offset 8
     if (len > 10 && buf[8] == 'C' && buf[9] == 'R')
         return decode_cr2(r, ifds, meta);
+
+    // Nikon NEF: TIFF with a compression-34713 raw IFD
+    for (auto& ifd : ifds) {
+        if ((int)ifd.num(259, 0) == 34713)
+            return decode_nef(r, ifds, meta);
+    }
 
     // pick the raw IFD: prefer PhotometricInterpretation 32803 (CFA) or
     // 34892 (LinearRaw); fall back to largest area

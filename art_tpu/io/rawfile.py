@@ -193,13 +193,13 @@ def synthesize_xtrans(rgb01, black=512.0, white=16383.0,
 
 
 def load_raw(path) -> RawFrame:
-    """Decode a raw file on host. DNG/CR2/RAF via the native decoder;
+    """Decode a raw file on host. DNG/CR2/NEF/RAF via the native decoder;
     others via registered external preconverters (imgiomanager
     semantics)."""
     from art_tpu.io import dng
 
     ext = os.path.splitext(str(path))[1].lower()
-    if ext in (".dng", ".cr2", ".raf"):
+    if ext in (".dng", ".cr2", ".raf", ".nef"):
         frame = dng.load_dng(path)
         _apply_camconst_levels(frame)
         if ext != ".raf":
