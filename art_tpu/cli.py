@@ -100,6 +100,10 @@ def parse_args(argv):
             opts["bench"] = True
         elif a == "--progress":
             opts["progress"] = True
+        elif a == "-V":
+            from art_tpu.settings import settings as _settings
+
+            _settings.verbose = True
         elif a in ("-h", "--help"):
             _usage()
             raise SystemExit(0)

@@ -783,16 +783,31 @@ def develop(frame, pp):
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,
                   bits=8, quality=92):
-    """processImage equivalent (rtengine.h:604, simpleprocess.cc:580)."""
+    """processImage equivalent (rtengine.h:604, simpleprocess.cc:580).
+
+    With settings.verbose, per-phase wall-clock timings print to stdout
+    (the reference's `-V` instrumentation, rawimagesource.cc:1470,
+    StopWatch.h)."""
+    import time as _time
+
     from art_tpu.io.rawfile import RawFrame
 
+    def _tick(label, t0):
+        if settings.verbose:
+            print(f"[art-tpu] {label}: "
+                  f"{(_time.monotonic() - t0) * 1000:.1f} ms", flush=True)
+        return _time.monotonic()
+
+    t = _time.monotonic()
     if isinstance(path_or_frame, RawFrame):
         frame = path_or_frame
     else:
         from art_tpu.io import load_image
 
         frame = load_image(path_or_frame)
+    t = _tick("decode", t)
     out = develop(frame, pp)
+    t = _tick("develop (plan+device+readback)", t)
     if output_path is not None:
         from art_tpu.io.imagefile import save_image
 
@@ -820,4 +835,5 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
             icc = None
         save_image(output_path, out, bits=bits, quality=quality,
                    exif_bytes=exif_bytes, icc_bytes=icc)
+        _tick("encode+metadata", t)
     return out
