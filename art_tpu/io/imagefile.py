@@ -51,22 +51,58 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
 
 
 def load_std_image(path):
-    """Load a non-raw image as a RawFrame with rgb payload (0..65535 linear?
+    """Load a non-raw image as a RawFrame with rgb payload.
 
-    No: like StdImageSource, data stays in the file's encoded space and the
-    pipeline linearizes via the input profile TRC (sRGB assumed for now).
+    StdImageSource semantics (stdimagesource.cc): honor the embedded ICC
+    profile when present (converted to sRGB via littleCMS before the
+    pipeline's sRGB linearization), support 8/16-bit PNG/TIFF depths,
+    fall back to an sRGB assumption otherwise. External loaders
+    registered through io.iomanager are consulted for unknown formats.
     """
     from art_tpu.color import colorspaces as cs
     from art_tpu.io.rawfile import RawFrame
 
-    img = Image.open(path)
-    img = img.convert("RGB")
-    arr = np.asarray(img, dtype=np.float32) / 255.0
+    try:
+        img = Image.open(path)
+    except OSError:
+        from art_tpu.io.iomanager import get_instance
+
+        conv = get_instance().load_image(path)
+        if conv is None:
+            raise
+        img = Image.open(conv)
+
+    icc = img.info.get("icc_profile")
+    if icc:
+        try:
+            import io as _io
+
+            from PIL import ImageCms
+
+            src = ImageCms.ImageCmsProfile(_io.BytesIO(icc))
+            dst = ImageCms.createProfile("sRGB")
+            img = ImageCms.profileToProfile(img.convert("RGB"), src, dst)
+        except Exception:
+            pass
+
+    if img.mode in ("I;16", "I;16B", "I;16L", "I"):
+        arr = np.asarray(img, dtype=np.float32) / 65535.0
+        arr = np.stack([arr] * 3, axis=-1)
+    else:
+        arr16 = np.asarray(img)
+        if arr16.dtype == np.uint16:
+            arr = arr16.astype(np.float32) / 65535.0
+            if arr.ndim == 2:
+                arr = np.stack([arr] * 3, axis=-1)
+            arr = arr[..., :3]
+        else:
+            img = img.convert("RGB")
+            arr = np.asarray(img, dtype=np.float32) / 255.0
     linear = cs.srgb_igamma(arr, np)
     chw = np.moveaxis(linear, -1, 0) * MAXVAL
     return RawFrame(
         cfa=np.zeros((1, 1), np.float32),
         pattern=None,
-        rgb=chw.astype(np.float32),
+        rgb=np.ascontiguousarray(chw).astype(np.float32),
         filename=str(path),
     )
