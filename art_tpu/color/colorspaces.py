@@ -118,14 +118,46 @@ def working_space_matrix(src: str, dst: str) -> np.ndarray:
 # normalized [0,1] values and work with numpy or jnp inputs (pass the array
 # module explicitly to stay jit-traceable).
 
+def _power_branch_fit(g, x0, deg=8):
+    """Polynomial (highest-first) for 1.055*x^(1/g)-0.055-style branches
+    evaluated in u = affine(x^(1/8)): the x^(1/8) warp makes the power
+    analytic on [x0, 1] so degree 8 reaches ~1e-8 (vs ~50 VPU ops for
+    the pow lowering)."""
+    t0 = x0 ** 0.125
+    tt = np.linspace(t0, 1.0, 50001)
+    y = tt ** (8.0 / g)
+    u = 2.0 * (tt - t0) / (1.0 - t0) - 1.0
+    c = np.polynomial.chebyshev.chebfit(u, y, deg)
+    pol = np.polynomial.chebyshev.cheb2poly(c)[::-1]
+    return (tuple(float(v) for v in pol), float(t0))
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(None)
+def _srgb_gamma_fit():
+    return _power_branch_fit(2.4, 0.0031308)
+
+
 def srgb_gamma(x, xp=np):
     """Linear -> sRGB encoding (g=2.4, slope 12.92)."""
     x = xp.clip(x, 0.0, 1.0)
-    return xp.where(
-        x <= 0.0031308,
-        x * 12.92,
-        1.055 * xp.power(xp.maximum(x, 1e-12), 1.0 / 2.4) - 0.055,
-    )
+    if xp is np:
+        return xp.where(
+            x <= 0.0031308,
+            x * 12.92,
+            1.055 * xp.power(xp.maximum(x, 1e-12), 1.0 / 2.4) - 0.055,
+        )
+    # device path: Horner in the x^(1/8) warp (error ~1e-8, far below
+    # the 16-bit output LSB; pow lowers to a slow log/exp chain on VPU)
+    pol, t0 = _srgb_gamma_fit()
+    t = xp.sqrt(xp.sqrt(xp.sqrt(x)))
+    u = 2.0 * (t - t0) / (1.0 - t0) - 1.0
+    acc = xp.full_like(x, pol[0])
+    for c in pol[1:]:
+        acc = acc * u + c
+    return xp.where(x <= 0.0031308, x * 12.92, 1.055 * acc - 0.055)
 
 
 def srgb_igamma(y, xp=np):
