@@ -22,14 +22,35 @@ def init(base_dir=None, user_settings_dir=None):
     """Global engine bring-up (reference: ``rtengine::init`` init.cc:59).
 
     Idempotent; loads bundled working-space data, camera constants and the
-    profile store. Cheap compared to the reference because heavyweight state
-    (LUTs, matrices) is built lazily by the pipeline planner.
+    profile store, plus user-directory state when ``user_settings_dir`` is
+    given (camconst overrides, dark-frame/flat-field indexes, external
+    image IO configs — the init.cc:76-140 parallel sections). Cheap
+    compared to the reference because heavyweight state (LUTs, matrices)
+    is built lazily by the pipeline planner.
     """
+    import os
+
     from art_tpu.color import iccstore
     from art_tpu.raw import camconst
+    from art_tpu.settings import settings
+
+    if user_settings_dir:
+        settings.user_dir = str(user_settings_dir)
+        from art_tpu.io import iomanager
+        from art_tpu.raw import dfff_managers
+
+        dfff_managers.reset()
+        iomanager.reset()
 
     iccstore.get_instance()
-    camconst.get_instance()
+    cc = camconst.get_instance()
+    if settings.user_dir:
+        user_cc = os.path.join(settings.user_dir, "camconst.json")
+        if os.path.isfile(user_cc):
+            try:
+                cc.load_json(user_cc)
+            except (OSError, ValueError):
+                pass
 
 
 def load_image(path):

@@ -225,3 +225,46 @@ def wb_camera_multipliers(frame, wb_mults_rgb):
     cam_v = cam_rgb @ np.asarray(wb_mults_rgb, dtype=np.float64)
     w = pm[:3] / np.maximum(cam_v, 1e-9)
     return np.array([w[0] / w[1], 1.0, w[2] / w[1]])
+
+
+def spot_wb(frame, y0, x0, size=32, equal=1.0):
+    """Spot white balance (reference: RawImageSource::getSpotWB
+    rawimagesource.cc — average the CFA channels over a picked square and
+    return (temp, green) + the multiplier triple).
+
+    frame: RawFrame; (y0, x0): top-left of the sampled square in sensor
+    coords. Returns dict(temp, green, mults).
+    """
+    import numpy as np
+
+    from art_tpu.core.image import bayer_color_index
+
+    cfa = np.asarray(frame.cfa, np.float64)
+    h, w = cfa.shape
+    y0 = int(np.clip(y0, 0, max(h - size, 0)))
+    x0 = int(np.clip(x0, 0, max(w - size, 0)))
+    win = cfa[y0 : y0 + size, x0 : x0 + size]
+    black = np.asarray(frame.black, np.float64)
+    if frame.pattern is not None:
+        cidx = np.asarray(
+            bayer_color_index(frame.pattern, (h, w)))[y0 : y0 + size,
+                                                      x0 : x0 + size]
+        sums = np.zeros(3)
+        cnts = np.zeros(3)
+        for c in range(3):
+            m = cidx == c
+            bl = black[0 if c == 0 else (1 if c == 1 else 2)]
+            sums[c] = np.sum(np.maximum(win[m] - bl, 0.0))
+            cnts[c] = m.sum()
+        means = sums / np.maximum(cnts, 1)
+    else:
+        means = np.maximum(win.mean() - black[:3].mean(), 1e-6) * np.ones(3)
+    means = np.maximum(means, 1e-6)
+    # neutral patch: gains proportional to 1/means, through the camera
+    # matrix into the ColorTemp multiplier convention
+    rgb_cam, _, _ = frame.color_matrices()
+    cam_mults = means[1] / means
+    v = rgb_cam @ cam_mults
+    mults = np.array([v[0] / v[1], 1.0, v[2] / v[1]])
+    temp, green = mul2temp(mults[0], mults[1], mults[2], equal)
+    return {"temp": float(temp), "green": float(green), "mults": mults}

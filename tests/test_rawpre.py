@@ -161,3 +161,17 @@ def test_transform_bicubic_beats_bilinear():
     gt = np.sin(dxc * 0.3) * np.cos(dyc * 0.25)
     m = (slice(10, 70), slice(10, 70))
     assert np.abs(bc - gt)[m].mean() < 0.2 * np.abs(bi - gt)[m].mean()
+
+
+def test_spot_wb_recovers_cast():
+    """Spot WB on a neutral patch recovers the camera cast gains
+    (RawImageSource::getSpotWB role)."""
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.raw.wb import spot_wb
+
+    rgb = np.full((3, 128, 128), 0.5, np.float32)
+    fr = synthesize_bayer(rgb, cam_mul=(1.8, 1.0, 1.4))
+    res = spot_wb(fr, 40, 40, 32)
+    assert abs(res["mults"][0] - 1.8) < 0.05
+    assert abs(res["mults"][2] - 1.4) < 0.05
+    assert 3000 < res["temp"] < 9000
