@@ -403,3 +403,64 @@ def test_distortion_runs():
     assert np.all(np.isfinite(out))
     base = develop(frame, ProcParams())
     assert not np.allclose(out, base)
+
+
+def _develop_arp(rgb, arp_text):
+    frame = synthesize_bayer(rgb, cam_mul=(1.0, 1.0, 1.0))
+    pp = ProcParams()
+    pp.apply_arp_text(arp_text)
+    return develop(frame, pp), develop(frame, ProcParams())
+
+
+def _detail_image(h=64, w=64, seed=9):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0.25, 0.65, (8, 8))
+    import cv2
+
+    img = cv2.resize(base, (w, h), interpolation=cv2.INTER_CUBIC)
+    return np.stack([img] * 3).clip(0.05, 0.95)
+
+
+def test_local_contrast_region_boosts_detail():
+    """Local Contrast regions (iplocalcontrast.cc): positive contrast
+    raises local variation."""
+    rgb = _detail_image()
+    out, base = _develop_arp(rgb, "[Local Contrast]\nEnabled=true\n"
+                                  "Contrast_1=60\n")
+    inner = (slice(None), slice(12, -12), slice(12, -12))
+
+    def local_var(x):
+        return np.abs(np.diff(x[1], axis=1)).mean()
+
+    assert local_var(out[inner]) > local_var(base[inner]) * 1.05
+
+
+def test_texture_boost_amplifies_texture():
+    """TextureBoost (iptextureboost.cc EPD role): strength > 0 amplifies
+    fine detail more than the base develop."""
+    rgb = _detail_image(seed=10)
+    rng = np.random.default_rng(4)
+    rgb = np.clip(rgb + rng.normal(0, 0.01, rgb.shape), 0.02, 0.98)
+    out, base = _develop_arp(
+        rgb, "[TextureBoost]\nEnabled=true\nStrength_1=2.0\n"
+             "DetailThreshold_1=0.2\n")
+    inner = (slice(None), slice(12, -12), slice(12, -12))
+
+    def fine_energy(x):
+        return np.abs(np.diff(x[1], axis=0)).mean()
+
+    assert fine_energy(out[inner]) > fine_energy(base[inner]) * 1.02
+
+
+def test_film_grain_adds_noise():
+    """Film grain (ipgrain.cc): enabled grain raises high-frequency
+    energy on a flat field."""
+    rgb = np.full((3, 64, 64), 0.4)
+    out, base = _develop_arp(rgb, "[Grain]\nEnabled=true\nStrength=60\n"
+                                  "ISO=800\n")
+    inner = (slice(None), slice(12, -12), slice(12, -12))
+
+    def hf(x):
+        return np.abs(np.diff(x[1], axis=0)).mean()
+
+    assert hf(out[inner]) > hf(base[inner]) * 1.5
