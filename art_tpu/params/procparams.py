@@ -736,6 +736,13 @@ class BlackWhiteParams(ParamGroup):
 
 
 @dataclass
+class CommonTransParams(ParamGroup):
+    ARP_GROUP = "Common Properties for Transformations"
+    ARP_SPEC = _spec(autofill=("AutoFill", "b"))
+    autofill: bool = False
+
+
+@dataclass
 class RotateParams(ParamGroup):
     ARP_GROUP = "Rotation"
     ARP_SPEC = _spec(enabled=("Enabled", "b"), degree=("Degree", "f"))
@@ -961,6 +968,8 @@ class ProcParams:
     film_simulation: FilmSimulationParams = field(
         default_factory=FilmSimulationParams)
     bw: BlackWhiteParams = field(default_factory=BlackWhiteParams)
+    common_trans: CommonTransParams = field(
+        default_factory=CommonTransParams)
     rotate: RotateParams = field(default_factory=RotateParams)
     distortion: DistortionParams = field(default_factory=DistortionParams)
     cacorrection: CACorrParams = field(default_factory=CACorrParams)

@@ -91,6 +91,11 @@ def plan_transform(pp, shape, frame=None):
         "shear": np.float32((pp.perspective.shear
                              if pp.perspective.enabled else 0.0) / 100.0),
     }
+    # auto-fill (iptransform.cc getTransformAutoFill :1310): bisect the
+    # largest output scale whose border still maps inside the source
+    if getattr(pp, "common_trans", None) is not None \
+            and pp.common_trans.autofill:
+        data["ascale"] = np.float32(_autofill_scale(data, h, w))
     if _lcp_geometry_active(pp):
         from art_tpu.lens.lcp import parse_lcp
 
@@ -115,6 +120,55 @@ def plan_transform(pp, shape, frame=None):
     return data
 
 
+def _map_border(data, h, w, scale, n=64):
+    """Numpy replica of apply_transform's inverse map on border samples
+    (green channel), with the output pre-scaled by `scale`."""
+    w2 = w / 2.0 - 0.5
+    h2 = h / 2.0 - 0.5
+    maxradius = np.sqrt(w * w + h * h) / 2.0
+    ts = np.linspace(0.0, 1.0, n)
+    bx = np.concatenate([ts * (w - 1), ts * (w - 1),
+                         np.zeros(n), np.full(n, w - 1.0)])
+    by = np.concatenate([np.zeros(n), np.full(n, h - 1.0),
+                         ts * (h - 1), ts * (h - 1)])
+    x_d = (bx - w2) * scale
+    y_d = (by - h2) * scale
+    ph = float(data["persp_h"])
+    pv = float(data["persp_v"])
+    shear = float(data["shear"])
+    denom = 1.0 + (pv * y_d / h) + (ph * x_d / w)
+    x_d = (x_d + shear * y_d) / denom
+    y_d = y_d / denom
+    cost, sint = float(data["cos"]), float(data["sin"])
+    dxc = x_d * cost - y_d * sint
+    dyc = x_d * sint + y_d * cost
+    r = np.sqrt(dxc * dxc + dyc * dyc) / maxradius
+    s = 1.0 - float(data["dist"]) + float(data["dist"]) * r
+    # widest channel reach: include the CA extremes
+    out = []
+    for ca in (0.0, float(data["ca_r"]), float(data["ca_b"])):
+        sc = s + ca
+        out.append((dxc * sc + w2, dyc * sc + h2))
+    return out
+
+
+def _autofill_scale(data, h, w):
+    lo, hi = 0.001, 2.0
+    while hi - lo > 0.001:
+        mid = 0.5 * (lo + hi)
+        clipped = False
+        for dx, dy in _map_border(data, h, w, mid):
+            if (dx.min() < 0 or dy.min() < 0 or dx.max() > w - 1
+                    or dy.max() > h - 1):
+                clipped = True
+                break
+        if clipped:
+            hi = mid
+        else:
+            lo = mid
+    return lo
+
+
 def apply_transform(rgb, data, method="bicubic"):
     c, h, w = rgb.shape
     w2 = w / 2.0 - 0.5
@@ -125,6 +179,9 @@ def apply_transform(rgb, data, method="bicubic"):
     xx = jnp.arange(w, dtype=rgb.dtype)[None, :] * jnp.ones((h, 1), rgb.dtype)
     x_d = xx - w2
     y_d = yy - h2
+    if "ascale" in data:
+        x_d = x_d * data["ascale"]
+        y_d = y_d * data["ascale"]
 
     # perspective (keystone approximation: projective division by a tilt
     # plane; reference uses the focal-length camera model)

@@ -464,3 +464,20 @@ def test_film_grain_adds_noise():
         return np.abs(np.diff(x[1], axis=0)).mean()
 
     assert hf(out[inner]) > hf(base[inner]) * 1.5
+
+
+def test_transform_autofill_removes_black_corners():
+    """AutoFill (iptransform.cc getTransformAutoFill): rotation corners
+    are filled by the bisected zoom."""
+    rng = np.random.default_rng(2)
+    rgb = rng.uniform(0.3, 0.7, size=(3, 96, 128)).astype(np.float32)
+    fr = synthesize_bayer(rgb, cam_mul=(1, 1, 1))
+    pp = ProcParams()
+    pp.raw.bayer.method = "bilinear"
+    pp.rotate.enabled = True
+    pp.rotate.degree = 5.0
+    plain = develop(fr, pp)
+    pp.common_trans.autofill = True
+    filled = develop(fr, pp)
+    assert plain[:, :4, :4].mean() < 0.05
+    assert filled[:, :4, :4].mean() > 0.2
