@@ -35,7 +35,16 @@ def _plan(sp, ctx, lum_w):
         .astype(np.float32),
     }
     if sp.method == "rld":
-        static = ("rld", float(max(sp.deconv_radius, 0.2)), 20)
+        radius = float(max(sp.deconv_radius, 0.2))
+        if getattr(sp, "deconv_auto_radius", False):
+            # RawImageSource::getDeconvAutoRadius (deconvautoradius.cc)
+            from art_tpu.pipeline.autos import deconv_auto_radius
+
+            frame = ctx.get("frame")
+            est = deconv_auto_radius(frame) if frame is not None else None
+            if est is not None:
+                radius = est
+        static = ("rld", radius, 20)
     else:
         static = ("usm", float(max(sp.radius, 0.2)), 0)
     return static, data

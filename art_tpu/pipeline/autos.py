@@ -123,3 +123,55 @@ def histogram_matching_curve(source_rgb01, target_rgb01, n_points=9):
         lastx = x
     pts += [1.0, 1.0]
     return pts
+
+
+def deconv_auto_radius(frame, lower_limit=1000.0):
+    """Estimate the capture's gaussian blur radius from the maximum ratio
+    of adjacent diagonal green samples (deconvautoradius.cc
+    calcRadiusBayer, Ingo Weyrich's estimator): the sharper the capture,
+    the larger a ratio neighboring greens can reach; invert the gaussian
+    adjacent-sample falloff to a radius. Returns None when not estimable.
+    """
+    import numpy as np
+
+    from art_tpu.core.image import bayer_channel_masks
+
+    if frame.pattern is None or frame.cfa is None:
+        return None
+    cfa = np.asarray(frame.cfa, np.float64)
+    black = float(np.asarray(frame.black).mean())
+    white = float(np.asarray(frame.white).min())
+    x = np.maximum(cfa - black, 0.0)
+    clip_val = (white - black) * 0.95
+    _, mg, _ = bayer_channel_masks(frame.pattern, cfa.shape, xp=np)
+
+    # clipped-neighborhood exclusion (3x3 dilation of near-clip pixels)
+    near_clip = x >= clip_val
+    nc = near_clip.copy()
+    for ax, sh in ((0, 1), (0, -1), (1, 1), (1, -1)):
+        nc |= np.roll(near_clip, sh, axis=ax)
+    nc |= np.roll(np.roll(near_clip, 1, 0), 1, 1)
+    nc |= np.roll(np.roll(near_clip, 1, 0), -1, 1)
+    nc |= np.roll(np.roll(near_clip, -1, 0), 1, 1)
+    nc |= np.roll(np.roll(near_clip, -1, 0), -1, 1)
+
+    max_ratio = 1.0
+    for dx in (-1, 1):
+        a = x[:-1, 1:-1]
+        b = x[1:, 1 + dx : x.shape[1] - 1 + dx]
+        valid = (mg[:-1, 1:-1] & mg[1:, 1 + dx : x.shape[1] - 1 + dx]
+                 & ~nc[:-1, 1:-1]
+                 & ~nc[1:, 1 + dx : x.shape[1] - 1 + dx])
+        hi = np.maximum(a, b)
+        lo = np.minimum(a, b)
+        valid &= (lo > 0) & (hi > lower_limit)
+        if valid.any():
+            r = (hi[valid] / lo[valid]).max()
+            max_ratio = max(max_ratio, float(r))
+    if max_ratio <= 1.0:
+        return None
+    # gaussian adjacent-sample falloff inversion (deconvautoradius.cc:90)
+    radius = float(np.sqrt((1.0 / (np.log(1.0 / max_ratio) / 2.0)) / -2.0))
+    if not np.isfinite(radius):
+        return None
+    return float(np.clip(radius, 0.4, 2.5))

@@ -46,3 +46,23 @@ def test_histogram_matching_curve_monotone():
     # target brighter => curve above identity in midtones
     mid = len(xs) // 2
     assert ys[mid] > xs[mid]
+
+
+def test_deconv_auto_radius_tracks_blur():
+    """getDeconvAutoRadius (deconvautoradius.cc): the estimate grows
+    monotonically with capture blur."""
+    import cv2
+
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.pipeline.autos import deconv_auto_radius
+
+    rng = np.random.default_rng(0)
+    base = cv2.resize(rng.uniform(0.1, 0.9, (16, 16)), (256, 256),
+                      interpolation=cv2.INTER_NEAREST)
+    ests = []
+    for sigma in (0.6, 1.3):
+        blurred = cv2.GaussianBlur(base, (0, 0), sigma)
+        fr = synthesize_bayer(np.stack([blurred] * 3), cam_mul=(1, 1, 1))
+        ests.append(deconv_auto_radius(fr))
+    assert ests[0] is not None and ests[1] is not None
+    assert ests[1] > ests[0]
