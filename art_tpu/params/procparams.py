@@ -1029,3 +1029,53 @@ class ProcParams:
     def apply_arp_text(self, text: str):
         self.update_from_keyfile(KeyFile.parse(text))
         return self
+
+
+class ProcParamsWithSnapshots:
+    """Sidecar with named edit snapshots (procparams.h:1759,
+    ProcParamsWithSnapshots load/save procparams.cc:6311-6430): a
+    [Snapshots] group lists ``Snapshot_N=name`` entries; each snapshot's
+    parameter groups are stored with the ``"Snapshot_N "`` group prefix.
+    """
+
+    def __init__(self):
+        self.master = ProcParams()
+        self.snapshots: list = []  # (name, ProcParams)
+
+    @staticmethod
+    def _prefixed_view(kf: KeyFile, prefix: str) -> KeyFile:
+        out = KeyFile()
+        for g, kv in kf.groups.items():
+            if g.startswith(prefix):
+                out.groups[g[len(prefix):]] = dict(kv)
+        return out
+
+    @classmethod
+    def load(cls, path) -> "ProcParamsWithSnapshots":
+        kf = KeyFile.load(path)
+        obj = cls()
+        # master = the unprefixed groups
+        master_kf = KeyFile()
+        for g, kv in kf.groups.items():
+            if not g.startswith("Snapshot_") and g != "Snapshots":
+                master_kf.groups[g] = dict(kv)
+        obj.master.update_from_keyfile(master_kf)
+        i = 1
+        while kf.has("Snapshots", f"Snapshot_{i}"):
+            name = kf.get_string("Snapshots", f"Snapshot_{i}")
+            pp = ProcParams()
+            pp.pp_version = obj.master.pp_version
+            pp.update_from_keyfile(cls._prefixed_view(kf, f"Snapshot_{i} "))
+            obj.snapshots.append((name, pp))
+            i += 1
+        return obj
+
+    def save(self, path):
+        kf = self.master.to_keyfile()
+        for i, (name, _) in enumerate(self.snapshots, 1):
+            kf.set("Snapshots", f"Snapshot_{i}", name)
+        for i, (_, pp) in enumerate(self.snapshots, 1):
+            sub = pp.to_keyfile()
+            for g, kv in sub.groups.items():
+                kf.groups[f"Snapshot_{i} {g}"] = dict(kv)
+        kf.save(path)

@@ -108,3 +108,32 @@ def test_cli_make_icc_and_check_lut(tmp_path):
     bad = tmp_path / "bad.cube"
     bad.write_text("nonsense\n")
     assert check_lut_main([str(bad)]) == 1
+
+
+def test_procparams_with_snapshots_roundtrip(tmp_path):
+    """[Snapshots] sidecar sections (procparams.cc:6311): named snapshot
+    params stored with group prefixes roundtrip."""
+    from art_tpu.params.procparams import ProcParams, ProcParamsWithSnapshots
+
+    obj = ProcParamsWithSnapshots()
+    obj.master.exposure.enabled = True
+    obj.master.exposure.expcomp = 0.5
+    snap = ProcParams()
+    snap.exposure.enabled = True
+    snap.exposure.expcomp = -1.0
+    snap.denoise.enabled = True
+    obj.snapshots.append(("moody", snap))
+    p = str(tmp_path / "s.arp")
+    obj.save(p)
+
+    back = ProcParamsWithSnapshots.load(p)
+    assert back.master.exposure.expcomp == 0.5
+    assert len(back.snapshots) == 1
+    name, spp = back.snapshots[0]
+    assert name == "moody"
+    assert spp.exposure.expcomp == -1.0
+    assert spp.denoise.enabled
+
+    # plain ProcParams.load of the same file sees only the master
+    pp = ProcParams.load(p)
+    assert pp.exposure.expcomp == 0.5
