@@ -140,7 +140,11 @@ _XYZ_PROPHOTO = np.array([[0.7976749, 0.1351917, 0.0313534],
 _PROPHOTO_XYZ = np.linalg.inv(_XYZ_PROPHOTO)
 
 
-def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv):
+def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv,
+             icm=None):
+    """icm: optional ICMParams gating which DCP stages apply (the
+    reference's applyHueSatMap / applyLookTable / toneCurve /
+    applyBaselineExposureOffset flags; dcp.cc ApplyState)."""
     """Host: fold the DCP into (cam->prophoto, prophoto->work) matrices +
     device tables. Returns (static, data)."""
     t1 = _ILLUM_TEMP.get(profile.illuminant_1, 5000.0)
@@ -193,16 +197,21 @@ def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv):
         "dcp_cam2pro": cam2pro.astype(np.float32),
         "dcp_pro2work": pro2work.astype(np.float32),
     }
-    has_hsm = profile.hsm_data_1 is not None
+    use_hsm = icm is None or getattr(icm, "apply_hue_sat_map", True)
+    use_look = icm is None or getattr(icm, "apply_look_table", True)
+    use_tc = icm is None or getattr(icm, "tone_curve", True)
+    use_be = icm is None or getattr(icm, "apply_baseline_exposure", True)
+    has_hsm = profile.hsm_data_1 is not None and use_hsm
     if has_hsm:
         tab = (mix * profile.hsm_data_1
                + (1.0 - mix) * profile.hsm_data_2
                if profile.hsm_data_2 is not None else profile.hsm_data_1)
         data["dcp_hsm"] = np.asarray(tab, dtype=np.float32)
-    has_look = profile.look_data is not None
+    has_look = profile.look_data is not None and use_look
     if has_look:
         data["dcp_look"] = np.asarray(profile.look_data, dtype=np.float32)
-    has_tc = profile.tone_curve is not None and len(profile.tone_curve) >= 2
+    has_tc = (use_tc and profile.tone_curve is not None
+              and len(profile.tone_curve) >= 2)
     if has_tc:
         from art_tpu.core.curve1d import fit_curve
 
@@ -210,8 +219,8 @@ def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv):
         pts = profile.tone_curve
         dense = np.interp(xs, pts[:, 0], pts[:, 1])
         data["dcp_tc"] = fit_curve(dense)
-    bl = 2.0 ** profile.baseline_exposure_offset \
-        if profile.baseline_exposure_offset else 1.0
+    bl = (2.0 ** profile.baseline_exposure_offset
+          if profile.baseline_exposure_offset and use_be else 1.0)
     static = (has_hsm,
               tuple(profile.hsm_dims) if has_hsm else None,
               bool(profile.hsm_srgb_encoding), has_tc, float(bl),

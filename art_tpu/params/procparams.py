@@ -211,7 +211,14 @@ class ColorManagementParams(ParamGroup):
         dcp_illuminant=("DCPIlluminant", "i"),
         dcp_look_early=("DCPLookEarly", "b"),
         output_bpc=("OutputBPC", "b"),
+        tone_curve=("ToneCurve", "b"),
+        input_cat=("InputProfileCAT", "b"),
+        output_intent=("OutputProfileIntent", "s"),
     )
+    # ToneCurve = apply the DCP's embedded tone curve (icm.toneCurve)
+    tone_curve: bool = False
+    input_cat: bool = False
+    output_intent: str = "Relative"
     input_profile: str = "(cameraICC)"
     working_profile: str = "Rec2020"
     output_profile: str = "RTv4_sRGB"

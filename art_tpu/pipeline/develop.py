@@ -321,7 +321,7 @@ def plan(frame, pp):
                     wb_temp, _ = wbmod.mul2temp(*np.asarray(wb_mults)[:3])
                 dcp_static, dcp_data = plan_dcp(
                     load_dcp(ip), frame, wb_temp,
-                    cs.MATRICES_XYZ_TO_RGB[icc_working])
+                    cs.MATRICES_XYZ_TO_RGB[icc_working], icm=pp.icm)
                 data.update(dcp_data)
     else:
         hotdead = None

@@ -135,7 +135,17 @@ def test_dcp_tone_curve_applies(tmp_path, flat_frame):
     _write_dcp(p, cm, tone_curve=tc)
     pp = ProcParams()
     pp.icm.input_profile = str(p)
+    # the reference gates the DCP curve on icm.toneCurve (default false,
+    # procparams.cc:2615)
+    pp.icm.tone_curve = True
     out = np.asarray(develop(flat_frame, pp))
     base = np.asarray(develop(flat_frame, ProcParams()))
     assert out[:, 24:-24, 24:-24].mean() > base[:, 24:-24, 24:-24].mean() \
         + 0.03
+
+    # and with the flag off (the default), the curve must NOT apply
+    pp_off = ProcParams()
+    pp_off.icm.input_profile = str(p)
+    out_off = np.asarray(develop(flat_frame, pp_off))
+    assert abs(out_off[:, 24:-24, 24:-24].mean()
+               - base[:, 24:-24, 24:-24].mean()) < 0.01
