@@ -629,10 +629,12 @@ class FattalParams(ParamGroup):
     # DRCompression / Fattal'02 (tmo_fattal02.cc)
     ARP_GROUP = "FattalToneMapping"
     ARP_SPEC = _spec(enabled=("Enabled", "b"), threshold=("Threshold", "i"),
-                     amount=("Amount", "i"))
+                     amount=("Amount", "i"),
+                     satcontrol=("SaturationControl", "b"))
     enabled: bool = False
     threshold: int = 30
     amount: int = 20
+    satcontrol: bool = False
 
 
 @dataclass
@@ -640,11 +642,12 @@ class LogEncodingParams(ParamGroup):
     # LogEncodingParams (procparams.h:816)
     ARP_GROUP = "LogEncoding"
     ARP_SPEC = _spec(
-        enabled=("Enabled", "b"), auto_gain=("Auto", "b"),
-        auto_gray=("AutoGray", "b"), gain=("Gain", "f"),
+        enabled=("Enabled", "b"), auto_gray=("Auto", "b"),
+        auto_gain=("AutoGain", "b"), gain=("Gain", "f"),
         target_gray=("TargetGray", "f"), black_ev=("BlackEv", "f"),
         white_ev=("WhiteEv", "f"), regularization=("Regularization", "i"),
-        satcontrol=("SatControl", "b"), highlight_compression=("HighlightCompression", "i"),
+        satcontrol=("SaturationControl", "b"),
+        highlight_compression=("HighlightCompression", "i"),
     )
     enabled: bool = False
     auto_gain: bool = True
@@ -691,11 +694,11 @@ class SoftLightParams(ParamGroup):
 class GrainParams(ParamGroup):
     ARP_GROUP = "Grain"
     ARP_SPEC = _spec(enabled=("Enabled", "b"), iso=("ISO", "i"),
-                     strength=("Strength", "i"), coarseness=("Coarseness", "i"))
+                     strength=("Strength", "i"), color=("Color", "b"))
     enabled: bool = False
     iso: int = 400
     strength: int = 50
-    coarseness: int = 0
+    color: bool = False
 
 
 @dataclass
@@ -761,7 +764,7 @@ class RotateParams(ParamGroup):
 class DistortionParams(ParamGroup):
     ARP_GROUP = "Distortion"
     ARP_SPEC = _spec(enabled=("Enabled", "b"), amount=("Amount", "f"),
-                     auto_compute=("AutoCompute", "b"))
+                     auto_compute=("Auto", "b"))
     enabled: bool = False
     amount: float = 0.0
     auto_compute: bool = False
@@ -860,7 +863,7 @@ class FilmNegativeParams(ParamGroup):
         enabled=("Enabled", "b"), red_ratio=("RedRatio", "f"),
         green_exp=("GreenExponent", "f"), blue_ratio=("BlueRatio", "f"),
         ref_input=("RefInput", "dl"), ref_output=("RefOutput", "dl"),
-        colorspace=("ColorSpace", "i"),
+        colorspace=("ColorSpace", "i"), back_compat=("BackCompat", "i"),
     )
     enabled: bool = False
     red_ratio: float = 1.36
@@ -869,6 +872,7 @@ class FilmNegativeParams(ParamGroup):
     ref_input: list = _dl(0.0, 0.0, 0.0)
     ref_output: list = _dl(0.0, 0.0, 0.0)
     colorspace: int = 1
+    back_compat: int = 0
 
 
 @dataclass
