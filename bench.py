@@ -29,10 +29,13 @@ def main():
     frame = synthesize_bayer(rgb, pattern="RGGB")
     del rgb
 
+    import os
+
     pp = ProcParams()
-    pp.apply_arp_text(
-        open("/root/reference/rtdata/profiles/Standard Film Curve.arp").read()
-    )
+    arp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "art_tpu", "data", "profiles",
+                       "Standard Film Curve.arp")
+    pp.apply_arp_text(open(arp).read())
     # north-star config: AMaZE + denoise + tone (BASELINE.md)
     pp.raw.bayer.method = "amaze"
     pp.denoise.enabled = True
