@@ -29,9 +29,9 @@ def _usage():
         "  -p <f.arp>   apply profile (repeatable, in order)\n"
         "  -d           apply default processing profile\n"
         "  -j[1-100]    JPEG output [quality]\n"
-        "  -t[z]        TIFF output\n"
+        "  -t[z]        TIFF output (z: deflate compression)\n"
         "  -n           PNG output\n"
-        "  -b<8|16>     bit depth (TIFF/PNG)\n"
+        "  -b<8|16|32>  bit depth (TIFF/PNG; 32 = float TIFF)\n"
         "  -Y           overwrite existing output\n"
         "  -q           fast export mode\n"
         "  --progress   machine-readable progress protocol\n"
@@ -85,10 +85,12 @@ def parse_args(argv):
             pass  # subsampling accepted for compat; PIL uses 4:4:4
         elif a.startswith("-t"):
             opts["format"] = "tif"
+            # ART-cli: -t = uncompressed TIFF, -tz = deflate
+            opts["tiff_uncompressed"] = "z" not in a[2:]
         elif a == "-n":
             opts["format"] = "png"
         elif a.startswith("-b"):
-            opts["bits"] = int(a[2:])
+            opts["bits"] = int(a[2:].rstrip("f"))
         elif a == "-Y":
             opts["overwrite"] = True
         elif a in ("-q", "-a"):
@@ -281,7 +283,8 @@ def main(argv=None):
             _progress(done * 100.0 / n_files)
             t0 = time.time()
             process_image(inp, pp, fast=opts["fast"], output_path=outp,
-                          bits=bits, quality=opts["quality"])
+                          bits=bits, quality=opts["quality"],
+                          uncompressed=opts.get("tiff_uncompressed", False))
             dt = time.time() - t0
             done += 1
             _progress(done * 100.0 / n_files)

@@ -14,8 +14,13 @@ from art_tpu.core.image import MAXVAL
 
 
 def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
-               exif_bytes=None):
-    """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W)."""
+               exif_bytes=None, exif_tags=None, uncompressed=False):
+    """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W).
+
+    Output matrix per the reference (imageio.h:90-96, main-cli.cc:878-887):
+    JPEG 8-bit; PNG 8/16-bit; TIFF 8/16-bit uint or 32-bit float, deflate
+    unless ``uncompressed``.
+    """
     arr = np.asarray(rgb_encoded01)
     assert arr.ndim == 3 and arr.shape[0] == 3
     import os
@@ -27,16 +32,18 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
     hwc = np.moveaxis(chw, 0, -1)
     path = str(path)
     lower = path.lower()
-    if bits == 16 and (lower.endswith(".png") or lower.endswith(".tif")
-                       or lower.endswith(".tiff")):
-        data = (hwc * 65535.0 + 0.5).astype(np.uint16)
-        if lower.endswith(".png"):
-            # PIL PNG 16-bit is single channel only; use opencv for RGB48
-            import cv2
+    if lower.endswith(".tif") or lower.endswith(".tiff"):
+        from art_tpu.io.tiffwrite import write_tiff
 
-            cv2.imwrite(path, cv2.cvtColor(data, cv2.COLOR_RGB2BGR))
-        else:
-            Image.fromarray(data, mode="RGB;16" if False else None).save(path)
+        write_tiff(path, chw, bits=bits, compress=not uncompressed,
+                   icc_bytes=icc_bytes, exif_tags=exif_tags)
+        return
+    if bits == 16 and lower.endswith(".png"):
+        # PIL PNG 16-bit is single channel only; use opencv for RGB48
+        import cv2
+
+        data = (hwc * 65535.0 + 0.5).astype(np.uint16)
+        cv2.imwrite(path, cv2.cvtColor(data, cv2.COLOR_RGB2BGR))
         return
     data = (hwc * 255.0 + 0.5).astype(np.uint8)
     img = Image.fromarray(data, mode="RGB")

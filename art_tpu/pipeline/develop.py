@@ -782,7 +782,7 @@ def develop(frame, pp):
 
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,
-                  bits=8, quality=92):
+                  bits=8, quality=92, uncompressed=False):
     """processImage equivalent (rtengine.h:604, simpleprocess.cc:580).
 
     With settings.verbose, per-phase wall-clock timings print to stdout
@@ -814,6 +814,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         # metadata tunnel/edit (MetaDataParams.mode: 0=tunnel 1=edit
         # 2=strip; rtengine/metadata.cc semantics)
         exif_bytes = None
+        exif_tags = None
         if pp.metadata.mode != 2 and frame.filename:
             try:
                 from art_tpu.io.metadata import build_exif_bytes, harvest
@@ -824,6 +825,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
                     tags = {k: v for k, v in tags.items() if k in keep}
                 if tags:
                     exif_bytes = build_exif_bytes(tags)
+                    exif_tags = tags
             except Exception:
                 pass
         icc = None
@@ -834,6 +836,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         except Exception:
             icc = None
         save_image(output_path, out, bits=bits, quality=quality,
-                   exif_bytes=exif_bytes, icc_bytes=icc)
+                   exif_bytes=exif_bytes, exif_tags=exif_tags,
+                   icc_bytes=icc, uncompressed=uncompressed)
         _tick("encode+metadata", t)
     return out
