@@ -44,6 +44,16 @@ def init(base_dir=None, user_settings_dir=None):
 
     iccstore.get_instance()
     cc = camconst.get_instance()
+    # bundled camera DB (camconst.cc + init.cc:100-110: the store must be
+    # populated out of the box; user files below override entries)
+    bundled = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "data", "camconst.json")
+    if not cc.loaded_bundled and os.path.isfile(bundled):
+        try:
+            cc.load_json(bundled)
+            cc.loaded_bundled = True
+        except (OSError, ValueError):
+            pass
     if settings.user_dir:
         user_cc = os.path.join(settings.user_dir, "camconst.json")
         if os.path.isfile(user_cc):

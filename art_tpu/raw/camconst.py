@@ -1,10 +1,10 @@
 """Camera constants DB (reference: ``rtengine/camconst.{h,cc}`` + camconst.json).
 
-The reference bundles a cJSON-parsed DB of 241 cameras with per-ISO
+The reference bundles a cJSON-parsed DB of ~240 cameras with per-ISO
 black/white levels, raw crop areas, aperture scaling and global flags. We
-read the same JSON schema (it is data, not code) from a user-supplied path;
-without one, decoders fall back to the levels carried in the raw file
-itself, which covers DNG and most modern formats.
+ship the same data (normalized JSON, ``art_tpu/data/camconst.json`` —
+vendored data tables, not code) loaded by ``art_tpu.init()``, plus user
+overrides from ``<user_dir>/camconst.json`` in the same schema.
 """
 
 from __future__ import annotations
@@ -125,6 +125,7 @@ class CameraConst:
 class CameraConstantsStore:
     def __init__(self):
         self._db: dict[str, CameraConst] = {}
+        self.loaded_bundled = False
 
     def load_json(self, path):
         # camconst.json allows // comments (cJSON tolerates them after RT's

@@ -78,17 +78,24 @@ def test_unknown_groups_preserved():
     assert "Strength=5" in out
 
 
-def test_camconst_reference_db():
+def test_camconst_bundled_db():
+    """init() must populate the store from the bundled DB (init.cc:100-110)."""
+    import art_tpu
     from art_tpu.raw import camconst
 
-    cc = camconst.CameraConstantsStore()
-    cc.load_json("/root/reference/rtengine/camconst.json")
+    art_tpu.init()
+    cc = camconst.get_instance()
     c = cc.get("Canon", "EOS 5D Mark III")
     assert c is not None
     assert c.white_levels(800) == [15180.0] * 4
     assert c.white_levels(160) == [13200.0] * 4
     assert c.dcraw_matrix()[0] == 6722.0
     assert cc.get("Nonexistent", "Camera") is None
+    # breadth: the bundled DB carries the full camera set
+    assert len(cc._db) > 200
+    # pdaf patterns survive the bundling (pdaflinesfilter.cc consumers)
+    sony = cc.get("Sony", "ILCE-7M3")
+    assert sony is None or sony.pdaf() is not None
 
 
 def test_cli_make_icc_and_check_lut(tmp_path):
