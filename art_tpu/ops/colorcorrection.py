@@ -38,7 +38,7 @@ def plan(pp, ctx):
     if GROUP not in kf.groups or not kf.get_bool(GROUP, "Enabled", False):
         return None
     ws = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]]
-    h, w = ctx["frame"].shape
+    h, w = ctx.get("op_dims") or ctx["frame"].shape
 
     regions = []
     data = {"ws_lum": ws[1].astype(np.float32),

@@ -25,7 +25,7 @@ def plan(pp, ctx):
     use_v = vig.enabled and vig.amount != 0
     if not (use_g or use_p or use_v):
         return None
-    h, w = ctx["frame"].shape
+    h, w = ctx.get("op_dims") or ctx["frame"].shape
     data = {}
     if use_g:
         data.update(_plan_gradient(g, w, h))

@@ -47,6 +47,9 @@ class PipelineConfig:
     late_crop: bool = False
     crop: tuple | None = None  # (y0, x0, h, w) in true coords
     resize_to: tuple | None = None  # (out_h, out_w)
+    # fast-export early resize (sh, sw, th, tw): slice to sensor dims then
+    # Lanczos to (th, tw) right after the raw stage (simpleprocess.cc:492)
+    early_resize: tuple | None = None
     prsharp: tuple | None = None  # post-resize sharpening static
     coarse: tuple = (0, False, False)  # rotate90 k, hflip, vflip
     transform: bool = False
@@ -68,8 +71,25 @@ class PipelineConfig:
     gainmap: bool = False
 
 
-def plan(frame, pp):
-    """Compile ProcParams + frame metadata into (config, data)."""
+def plan(frame, pp, fast=False):
+    """Compile ProcParams + frame metadata into (config, data).
+
+    fast=True is the reference's fast_pipeline (-q, simpleprocess.cc:89-110):
+    only active when resize is enabled — the image is Lanczos-downscaled
+    right after the raw stage and every later op runs at output scale;
+    demosaic is downgraded (3-pass X-Trans -> 1-pass, pixelshift -> amaze,
+    adjust_procparams :533-549) and crop coordinates are scaled
+    (stage_finish :362-366).
+    """
+    fast = bool(fast and pp.resize.enabled)
+    if fast:
+        import copy as _copy
+
+        pp = _copy.deepcopy(pp)
+        if pp.raw.xtrans.method.lower().startswith("3-pass"):
+            pp.raw.xtrans.method = "1-pass (medium)"
+        if pp.raw.bayer.method.lower() == "pixelshift":
+            pp.raw.bayer.method = "amaze"
     icc_working = pp.icm.working_profile
     if icc_working not in cs.MATRICES_RGB_TO_XYZ:
         icc_working = "Rec2020"
@@ -379,7 +399,99 @@ def plan(frame, pp):
         except Exception:
             pass
 
-    # op chain with stage tags (SURVEY §2.4 execution order)
+    # coarse rotation / flips (getImage tran, rtengine coarse transform)
+    coarse = (int(pp.coarse.rotate // 90) % 4, bool(pp.coarse.hflip),
+              bool(pp.coarse.vflip))
+    if coarse[0] % 2 == 1:
+        h, w = w, h  # rot90 swaps output dims
+
+    # fast-export early resize (stage_early_resize, simpleprocess.cc:492):
+    # scale factor from the FULL post-coarse dims, applied right after the
+    # raw stage; crop coordinates below are then scaled (:362-366) and the
+    # final resize is skipped (:404 is_fast)
+    early_resize = None
+    fast_scale = 1.0
+    if fast:
+        fast_scale = _resize_scale(pp, h, w)
+        if fast_scale != 1.0:
+            oh = int(h * fast_scale + 0.5)
+            ow = int(w * fast_scale + 0.5)
+            # sensor-orientation target (early resize runs pre-coarse)
+            k = int(pp.coarse.rotate // 90) % 4
+            th, tw = (ow, oh) if k % 2 == 1 else (oh, ow)
+            sh0, sw0 = (w, h) if k % 2 == 1 else (h, w)
+            from art_tpu.ops.resize import resize_plan
+
+            a_r, a_c = resize_plan((sh0, sw0), (th, tw))
+            data["early_rows"] = a_r
+            data["early_cols"] = a_c
+            early_resize = (sh0, sw0, th, tw)
+            h, w = oh, ow
+        else:
+            fast = False
+
+    # geometric transform (stage_transform, iptransform.cc; in fast mode
+    # it runs post-early-resize at output scale, simpleprocess.cc:106-108)
+    from art_tpu.pipeline.transform import needs_transform, plan_transform
+
+    # auto-distortion (simpleprocess.cc:333: getAutoDistor before the
+    # transform plan); mutate a copy so the caller's pp stays untouched
+    if (pp.distortion.enabled and pp.distortion.auto_compute
+            and frame.is_raw and frame.cfa is not None):
+        from art_tpu.lens.autos import auto_distortion_for
+
+        amt = auto_distortion_for(frame)
+        if amt != 0.0:
+            import copy as _copy
+
+            pp = _copy.deepcopy(pp)
+            pp.distortion.amount = amt
+    do_transform = frame.is_raw is not None and needs_transform(pp)
+    if do_transform:
+        data["transform"] = plan_transform(pp, (h, w), frame=frame)
+
+    # crop (reference stage_finish crop copy, simpleprocess.cc:357-383;
+    # in fast mode coordinates are scaled, :362-366)
+    crop = None
+    if pp.crop.enabled:
+        sf = fast_scale if early_resize is not None else 1.0
+        cx = max(0, int(pp.crop.x * sf + 0.5))
+        cy = max(0, int(pp.crop.y * sf + 0.5))
+        cw0 = int(pp.crop.w * sf + 0.5) if pp.crop.w > 0 else w
+        ch0 = int(pp.crop.h * sf + 0.5) if pp.crop.h > 0 else h
+        cw = min(cw0, w - cx)
+        ch = min(ch0, h - cy)
+        if (cx, cy, cw, ch) != (0, 0, w, h):
+            crop = (cy, cx, ch, cw)
+
+    # resize target (ipresize.cc resizeScale semantics incl. AppliesTo)
+    resize_to = None
+    if pp.resize.enabled and early_resize is None:
+        scale_f = _resize_scale(pp, h, w, crop)
+        src_h = crop[2] if crop else h
+        src_w = crop[3] if crop else w
+        if scale_f != 1.0:
+            oh = max(32, int(src_h * scale_f + 0.5))
+            ow = max(32, int(src_w * scale_f + 0.5))
+            if (oh, ow) != (src_h, src_w):
+                resize_to = (oh, ow)
+                from art_tpu.ops.resize import resize_plan
+
+                a_r, a_c = resize_plan((src_h, src_w), resize_to)
+                data["resize_rows"] = a_r
+                data["resize_cols"] = a_c
+
+    # late-crop path: with no geometry change, keep the lane-aligned padded
+    # planes through stages 1-3 and slice at the very end; (h,w)-shaped op
+    # data planes (masks etc.) are edge-padded to match
+    late_crop = (coarse == (0, False, False) and not do_transform
+                 and crop is None and early_resize is None)
+
+    # op chain with stage tags (SURVEY §2.4 execution order). Stage 1-3
+    # ops run post-coarse/early-resize (and post-crop) — op planners
+    # rasterize masks etc. at ctx["op_dims"] (the reference's setViewport
+    # crop offset, simpleprocess.cc:368, is applied by slicing below).
+    ctx["op_dims"] = (h, w)
     stage_of = {}
     for nm in ops_pkg.STAGE_0:
         stage_of[nm] = 0
@@ -404,75 +516,15 @@ def plan(frame, pp):
         steps.append((name, tuple(static), stage_of.get(name, 3)))
         data[f"op:{name}"] = op_data
 
-    # coarse rotation / flips (getImage tran, rtengine coarse transform)
-    coarse = (int(pp.coarse.rotate // 90) % 4, bool(pp.coarse.hflip),
-              bool(pp.coarse.vflip))
-    if coarse[0] % 2 == 1:
-        h, w = w, h  # rot90 swaps output dims
+    def _map_tree(obj, fn):
+        if isinstance(obj, dict):
+            return {k: _map_tree(v, fn) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(_map_tree(v, fn) for v in obj)
+        return fn(obj)
 
-    # geometric transform (stage_transform, iptransform.cc)
-    from art_tpu.pipeline.transform import needs_transform, plan_transform
-
-    # auto-distortion (simpleprocess.cc:333: getAutoDistor before the
-    # transform plan); mutate a copy so the caller's pp stays untouched
-    if (pp.distortion.enabled and pp.distortion.auto_compute
-            and frame.is_raw and frame.cfa is not None):
-        from art_tpu.lens.autos import auto_distortion_for
-
-        amt = auto_distortion_for(frame)
-        if amt != 0.0:
-            import copy as _copy
-
-            pp = _copy.deepcopy(pp)
-            pp.distortion.amount = amt
-    do_transform = frame.is_raw is not None and needs_transform(pp)
-    if do_transform:
-        data["transform"] = plan_transform(pp, (h, w), frame=frame)
-
-    # crop (reference stage_finish crop copy, simpleprocess.cc:357-383)
-    crop = None
-    if pp.crop.enabled:
-        cx = max(0, pp.crop.x)
-        cy = max(0, pp.crop.y)
-        cw = min(pp.crop.w if pp.crop.w > 0 else w, w - cx)
-        ch = min(pp.crop.h if pp.crop.h > 0 else h, h - cy)
-        if (cx, cy, cw, ch) != (0, 0, w, h):
-            crop = (cy, cx, ch, cw)
-
-    # resize target (ipresize.cc / ResizeParams semantics)
-    resize_to = None
-    if pp.resize.enabled:
-        src_h = crop[2] if crop else h
-        src_w = crop[3] if crop else w
-        rs = pp.resize
-        if rs.data_specified == 0:  # scale
-            scale_f = rs.scale
-        else:
-            sw = rs.width / src_w if rs.width > 0 else 1.0
-            sh = rs.height / src_h if rs.height > 0 else 1.0
-            if rs.data_specified == 1:
-                scale_f = sw
-            elif rs.data_specified == 2:
-                scale_f = sh
-            else:  # bounding box
-                scale_f = min(sw, sh)
-        if scale_f < 1.0 or rs.allow_upscaling:
-            oh = max(32, int(round(src_h * scale_f)))
-            ow = max(32, int(round(src_w * scale_f)))
-            if (oh, ow) != (src_h, src_w):
-                resize_to = (oh, ow)
-                from art_tpu.ops.resize import resize_plan
-
-                a_r, a_c = resize_plan((src_h, src_w), resize_to)
-                data["resize_rows"] = a_r
-                data["resize_cols"] = a_c
-
-    # late-crop path: with no geometry change, keep the lane-aligned padded
-    # planes through stages 1-3 and slice at the very end; (h,w)-shaped op
-    # data planes (masks etc.) are edge-padded to match
-    late_crop = (coarse == (0, False, False) and not do_transform
-                 and crop is None)
     if late_crop:
+        # edge-pad (h, w) op planes to the lane-aligned padded shape
         def _pad_plane(a):
             if (isinstance(a, np.ndarray) and a.ndim >= 2
                     and a.shape[-2:] == (h, w)
@@ -482,16 +534,26 @@ def plan(frame, pp):
                 return np.pad(a, pad, mode="edge")
             return a
 
-        def _pad_tree(obj):
-            if isinstance(obj, dict):
-                return {k: _pad_tree(v) for k, v in obj.items()}
-            if isinstance(obj, (list, tuple)):
-                return type(obj)(_pad_tree(v) for v in obj)
-            return _pad_plane(obj)
+        for name, _, stage in steps:
+            if stage > 0:
+                data[f"op:{name}"] = _map_tree(data[f"op:{name}"],
+                                               _pad_plane)
+    elif crop is not None:
+        # slice full-frame op planes to the crop window so masks keep
+        # full-image coordinates (ipf.setViewport semantics)
+        cy, cx, ch, cw = crop
+
+        def _crop_plane(a):
+            if (isinstance(a, np.ndarray) and a.ndim >= 2
+                    and a.shape[-2:] == (h, w)):
+                return np.ascontiguousarray(
+                    a[..., cy : cy + ch, cx : cx + cw])
+            return a
 
         for name, _, stage in steps:
             if stage > 0:
-                data[f"op:{name}"] = _pad_tree(data[f"op:{name}"])
+                data[f"op:{name}"] = _map_tree(data[f"op:{name}"],
+                                               _crop_plane)
 
     # post-resize sharpening (prsharpening, simpleprocess.cc:402-418)
     prsharp = None
@@ -527,6 +589,7 @@ def plan(frame, pp):
         late_crop=late_crop,
         crop=crop,
         resize_to=resize_to,
+        early_resize=early_resize,
         prsharp=prsharp,
         hotdead=hotdead,
         green_eq=green_eq_t,
@@ -544,6 +607,36 @@ def plan(frame, pp):
         ca_mode=ca_mode,
     )
     return config, data
+
+
+def _resize_scale(pp, h, w, crop=None):
+    """resizeScale (ipresize.cc:226): scale factor incl. AppliesTo and the
+    apply-site upscale gate (simpleprocess.cc:404-408)."""
+    rs = pp.resize
+    if not rs.enabled:
+        return 1.0
+    if crop is not None and rs.applies_to == "Cropped area":
+        refh, refw = crop[2], crop[3]
+    else:
+        refh, refw = h, w
+    ds = rs.data_specified
+    if ds == 1:
+        scale = rs.width / refw if rs.width > 0 else 1.0
+    elif ds == 2:
+        scale = rs.height / refh if rs.height > 0 else 1.0
+    elif ds == 3:  # fit box
+        sw = rs.width / refw if rs.width > 0 else 1.0
+        sh = rs.height / refh if rs.height > 0 else 1.0
+        scale = min(sw, sh)
+        if scale > 1.0 and not rs.allow_upscaling:
+            scale = 1.0
+    else:
+        scale = rs.scale
+    if abs(scale - 1.0) <= 1e-5:
+        return 1.0
+    if scale > 1.0 and not rs.allow_upscaling:
+        return 1.0
+    return scale
 
 
 def _resolve_output_profile(name: str) -> str:
@@ -697,6 +790,15 @@ def _build_run(config: PipelineConfig):
                 rgb = jnp.clip(rgb, 0.0, MAXVAL)
         else:
             rgb = inp
+        if config.early_resize is not None:
+            # fast-export: Lanczos to output scale right after the raw
+            # stage; everything downstream runs on the small image
+            # (stage_early_resize, simpleprocess.cc:492-531)
+            from art_tpu.ops.resize import apply_resize as _early_rs
+
+            sh0, sw0, _, _ = config.early_resize
+            rgb = rgb[:, :sh0, :sw0]
+            rgb = _early_rs(rgb, data["early_rows"], data["early_cols"])
         if config.is_raw and config.dcp is not None:
             from art_tpu.color.dcp import apply_dcp
 
@@ -770,9 +872,9 @@ def _executor(config: PipelineConfig):
     return jax.jit(_build_run(config))
 
 
-def develop(frame, pp):
+def develop(frame, pp, fast=False):
     """Full develop: returns encoded output RGB (3, H, W) float32 in [0,1]."""
-    config, data = plan(frame, pp)
+    config, data = plan(frame, pp, fast=fast)
     if frame.is_raw:
         inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
     else:
@@ -806,7 +908,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
 
         frame = load_image(path_or_frame)
     t = _tick("decode", t)
-    out = develop(frame, pp)
+    out = develop(frame, pp, fast=fast)
     t = _tick("develop (plan+device+readback)", t)
     if output_path is not None:
         from art_tpu.io.imagefile import save_image

@@ -104,17 +104,27 @@ def apply_scale(cfa, offset_tile, scale_tile, xp):
     """Device-side: (raw - black) * scale with the periodic level pattern
     broadcast over the mosaic (scaleColors inner loop).
 
-    NOTE: jnp.tile of a small pattern to 24MP hit a ~54ms lowering on v5e;
-    when the period divides the shape we reshape (H,W)->(H/p,p,W/q,q) and
-    broadcast-multiply instead (layout-free, fully fused).
+    NOTE: jnp.tile of a small pattern to 24MP hit a ~54ms lowering on v5e,
+    and the (H,W)->(H/p,p,W) reshape trick leaves a sublane-2 layout that
+    quadruples effective HBM traffic (~3.7ms measured). Row-parity selects
+    over the native (H, W) layout stay fully fused and bandwidth-bound:
+    the period is tiny (2 for Bayer, 6 for X-Trans), so p masked selects
+    of (W,) rows beat any relayout.
     """
     h, w = cfa.shape
     th = offset_tile.shape[0]  # tiles are (period, W) row patterns
-    if h % th == 0:
-        v = cfa.reshape(h // th, th, w)
-        out = xp.maximum(v - offset_tile[None], 0.0) * scale_tile[None]
-        return out.reshape(h, w)
-    # fallback: explicit row indexing for non-multiple heights
+    if xp is not np and th <= 8:
+        import jax
+
+        rp = jax.lax.broadcasted_iota(xp.int32, (h, w), 0) % th
+        offset = offset_tile[0][None, :]
+        scale = scale_tile[0][None, :]
+        for k in range(1, th):
+            sel = rp == k
+            offset = xp.where(sel, offset_tile[k][None, :], offset)
+            scale = xp.where(sel, scale_tile[k][None, :], scale)
+        return xp.maximum(cfa - offset, 0.0) * scale
+    # host/numpy fallback: explicit row indexing
     rows = xp.arange(h) % th
     offset = offset_tile[rows]
     scale = scale_tile[rows]
