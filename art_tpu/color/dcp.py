@@ -52,6 +52,7 @@ class DCPProfile:
     hsm_srgb_encoding: bool = False
     look_dims: tuple | None = None
     look_data: np.ndarray | None = None
+    look_srgb_encoding: bool = False
     tone_curve: np.ndarray | None = None  # (N, 2) pairs
     baseline_exposure_offset: float = 0.0
 
@@ -112,6 +113,8 @@ def load_dcp(path) -> DCPProfile:
         hd, sd, vd = (int(d) for d in dims)
         p.look_dims = (hd, sd, vd)
         p.look_data = raw.reshape(vd, hd, sd, 3)
+    enc = get(51108)  # ProfileLookTableEncoding (dcp.cc:1158)
+    p.look_srgb_encoding = bool(enc)
     if 50940 in ents:
         typ, cnt, doff = ents[50940]
         raw = np.frombuffer(buf, dtype="<f4" if le else ">f4", count=cnt,
@@ -221,12 +224,22 @@ def plan_dcp(profile: DCPProfile, frame, wb_temp, working_xyz_inv,
         data["dcp_tc"] = fit_curve(dense)
     bl = (2.0 ** profile.baseline_exposure_offset
           if profile.baseline_exposure_offset and use_be else 1.0)
+
+    # step 1 = colorspace conversion (DCPProfile::apply, dcp.cc:1363):
+    # matrices + HueSatMap only
     static = (has_hsm,
               tuple(profile.hsm_dims) if has_hsm else None,
-              bool(profile.hsm_srgb_encoding), has_tc, float(bl),
-              has_look,
-              tuple(profile.look_dims) if has_look else None)
-    return static, data
+              bool(profile.hsm_srgb_encoding))
+    # step 2 = in-chain look/tone (step2ApplyTile, dcp.cc:1518), applied
+    # at the early/late look position (improcfun.cc:590-592,614-620)
+    if has_look or has_tc or bl != 1.0:
+        step2 = (float(bl), has_look,
+                 tuple(profile.look_dims) if has_look else None,
+                 bool(profile.look_srgb_encoding), has_tc)
+        data["dcp_work2pro"] = np.linalg.inv(pro2work).astype(np.float32)
+    else:
+        step2 = None
+    return static, step2, data
 
 
 def _rgb2hsv(r, g, b):
@@ -258,8 +271,9 @@ def _hsv2rgb(h, s, v):
     return r, g, b
 
 
-def _hsm_lookup(table, dims, srgb_enc, h, s, v):
+def _hsm_lookup(table, dims, v, h, s):
     """Bilinear (2.5D) / trilinear hue-sat-map table lookup (hsdApply).
+    `v` arrives already in the table's value encoding.
 
     Cell-packed: a cell's 4 (h, s) corners (x2 value levels in 3D) sit
     in one row so one gather fetches them all — the TPU row-gather trick
@@ -285,12 +299,7 @@ def _hsm_lookup(table, dims, srgb_enc, h, s, v):
         v1 = v0
         vf = jnp.zeros_like(hf)
     else:
-        venc = v
-        if srgb_enc:
-            venc = jnp.where(v <= 0.0031308, 12.92 * v,
-                             1.055 * jnp.maximum(v, 1e-12) ** (1 / 2.4)
-                             - 0.055)
-        v_scaled = venc * (vd - 1)
+        v_scaled = v * (vd - 1)
         v0 = jnp.clip(v_scaled.astype(jnp.int32), 0, vd - 2)
         v1 = v0 + 1
         vf = v_scaled - v0.astype(h.dtype)
@@ -312,38 +321,81 @@ def _hsm_lookup(table, dims, srgb_enc, h, s, v):
     return out[..., 0], out[..., 1], out[..., 2]
 
 
-def _apply_hsv_table(x, table, dims, srgb_enc):
-    """One hue/sat/val table pass on a ProPhoto-linear stack in [0,1]."""
+def _srgb_enc(v):
+    return jnp.where(v <= 0.0031308, 12.92 * v,
+                     1.055 * jnp.maximum(v, 1e-12) ** (1 / 2.4) - 0.055)
+
+
+def _srgb_dec(v):
+    return jnp.where(v <= 0.04045, v / 12.92,
+                     (jnp.maximum(v, 0.0) / 1.055 + 0.055 / 1.055) ** 2.4)
+
+
+def _apply_hsv_table(x, table, dims, srgb_enc, clip_sv=False):
+    """One hue/sat/val table pass on a ProPhoto-linear stack in [0,1].
+
+    With srgb table encoding, both the value-axis index and the val_scale
+    application run in the encoded domain: v' = igamma(gamma(v) * vs)
+    (hsdApply, dcp.cc:2025,2090).
+    """
     r, g, b = x[0], x[1], x[2]
     neg = (r < 0) | (g < 0) | (b < 0)
     h, s, v = _rgb2hsv(jnp.maximum(r, 0), jnp.maximum(g, 0),
                        jnp.maximum(b, 0))
-    hs, ss, vs = _hsm_lookup(table, dims, srgb_enc, h, s, v)
+    venc = _srgb_enc(v) if srgb_enc else v
+    hs, ss, vs = _hsm_lookup(table, dims, venc, h, s)
     h2 = h + hs * (6.0 / 360.0)
     h2 = jnp.where(h2 < 0, h2 + 6.0, jnp.where(h2 >= 6.0, h2 - 6.0, h2))
-    s2 = jnp.clip(s * ss, 0.0, 1.0)
-    v2 = v * vs
+    s2 = s * ss
+    if srgb_enc:
+        v2 = _srgb_dec(venc * vs)
+    else:
+        v2 = v * vs
+    if clip_sv:  # step2ApplyTile clips s and v to [0,1] (dcp.cc:1585-1586)
+        s2 = jnp.clip(s2, 0.0, 1.0)
+        v2 = jnp.clip(v2, 0.0, 1.0)
+    else:
+        s2 = jnp.clip(s2, 0.0, 1.0)
     r2, g2, b2 = _hsv2rgb(h2, s2, v2)
     return jnp.where(neg[None], x, jnp.stack([r2, g2, b2]))
 
 
 def apply_dcp(rgb, data, static):
-    """Device: cam RGB (0..65535) -> working RGB, DCP transforms applied."""
-    (has_hsm, dims, srgb_enc, has_tc, bl_scale,
-     has_look, look_dims) = static
+    """Device step 1 (DCPProfile::apply, dcp.cc:1363): cam RGB (0..65535)
+    -> working RGB with the illuminant-interpolated matrices + HueSatMap.
+    The look table / tone curve / baseline exposure are step 2
+    (apply_dcp_look), applied inside the op chain."""
+    has_hsm, dims, srgb_enc = static
     from art_tpu.pipeline.develop import _mat3
 
     x = _mat3(data["dcp_cam2pro"], rgb * (1.0 / 65535.0))
-    if bl_scale != 1.0:
-        x = x * bl_scale
     if has_hsm:
         x = _apply_hsv_table(x, data["dcp_hsm"], dims, srgb_enc)
-    if has_look:
-        # step2: look table after the color rendering (dcp.cc:1560-1590)
-        x = _apply_hsv_table(x, data["dcp_look"], look_dims, True)
-    if has_tc:
-        from art_tpu.core.curve1d import eval_curve
-
-        x = jnp.clip(x, 0.0, 1.0)
-        x = eval_curve(x, data["dcp_tc"], in_max=1.0, out_max=1.0)
     return _mat3(data["dcp_pro2work"], x) * 65535.0
+
+
+def apply_dcp_look(rgb, data, static):
+    """Device step 2 (step2ApplyTile, dcp.cc:1518): working RGB
+    (0..65535) -> working RGB with baseline exposure, the look table and
+    the embedded Adobe tone curve applied in linear ProPhoto."""
+    bl_scale, has_look, look_dims, look_srgb, has_tc = static
+    from art_tpu.pipeline.develop import _mat3
+
+    x = rgb
+    if bl_scale != 1.0:
+        x = x * bl_scale
+    if not (has_look or has_tc):
+        return x
+    x = _mat3(data["dcp_work2pro"], x)
+    x = jnp.maximum(x, 0.0)  # dcp.cc:1565-1568
+    if has_look:
+        pro = jnp.clip(x, 0.0, 65535.5) * (1.0 / 65535.0)
+        x = _apply_hsv_table(pro, data["dcp_look"], look_dims,
+                             look_srgb, clip_sv=True) * 65535.0
+    if has_tc:
+        # AdobeToneCurve semantics: the curve drives max/min channels,
+        # the middle keeps the hue ratio (curves.h:425 Apply/RGBTone)
+        from art_tpu.ops.tonecurve import _apply_filmlike
+
+        x = _apply_filmlike(jnp.clip(x, 0.0, 65535.0), data["dcp_tc"])
+    return _mat3(data["dcp_pro2work"], x)

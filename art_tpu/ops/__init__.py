@@ -24,11 +24,14 @@ import importlib
 # denoise = pre-stage (stage_denoise)
 STAGE_0 = ("spot", "filmneg", "denoise", "dehaze", "fattal")
 STAGE_1 = ("chmixer", "exposure", "hsl", "toneequalizer")
-STAGE_2 = ("sharpen", "impulse", "defringe", "colorcorrection", "smoothing")
+# dcplook_early/_late = DCP step-2 look/tone at its reference position
+# (improcfun.cc:590-592 early, :614-620 late; gated by icm.dcp_look_early)
+STAGE_2 = ("dcplook_early", "sharpen", "impulse", "defringe",
+           "colorcorrection", "smoothing")
 STAGE_3 = (
     "gradients", "textureboost", "grain", "logenc", "saturation",
-    "filmsim_pre", "tonecurve", "filmsim_post", "rgbcurves", "labadj",
-    "softlight", "localcontrast", "bw",
+    "dcplook_late", "filmsim_pre", "tonecurve", "filmsim_post",
+    "rgbcurves", "labadj", "softlight", "localcontrast", "bw",
 )
 
 ALL_STEPS = STAGE_0 + STAGE_1 + STAGE_2 + STAGE_3
@@ -44,6 +47,7 @@ def get_op(name: str):
     base = name.removeprefix("filmsim_").removesuffix("_pre")
     candidates = {
         "filmsim_pre": "filmsim", "filmsim_post": "filmsim",
+        "dcplook_early": "dcplook", "dcplook_late": "dcplook",
     }
     modname = candidates.get(name, name)
     try:

@@ -339,9 +339,19 @@ def plan(frame, pp, fast=False):
                     wb_temp = float(pp.wb.temperature)
                 else:
                     wb_temp, _ = wbmod.mul2temp(*np.asarray(wb_mults)[:3])
-                dcp_static, dcp_data = plan_dcp(
+                dcp_static, dcp_step2, dcp_data = plan_dcp(
                     load_dcp(ip), frame, wb_temp,
                     cs.MATRICES_XYZ_TO_RGB[icc_working], icm=pp.icm)
+                if dcp_step2 is not None:
+                    # step-2 look/tone runs inside the op chain (the
+                    # early/late look position, improcfun.cc:590,614) —
+                    # planned by ops.dcplook from this ctx entry
+                    s2_keys = ("dcp_work2pro", "dcp_pro2work",
+                               "dcp_look", "dcp_tc")
+                    ctx["dcp_step2"] = (dcp_step2, {
+                        k: dcp_data[k] for k in s2_keys if k in dcp_data})
+                for k in ("dcp_work2pro", "dcp_look", "dcp_tc"):
+                    dcp_data.pop(k, None)
                 data.update(dcp_data)
     else:
         hotdead = None
@@ -507,8 +517,9 @@ def plan(frame, pp, fast=False):
         if mod is None:
             continue
         plan_fn = mod.plan
-        if name.endswith("_post") and hasattr(mod, "plan_post"):
-            plan_fn = mod.plan_post
+        if "_" in name:  # positional variants: filmsim_post, dcplook_*
+            suffix = name.rsplit("_", 1)[1]
+            plan_fn = getattr(mod, f"plan_{suffix}", mod.plan)
         planned = plan_fn(pp, ctx)
         if planned is None:
             continue

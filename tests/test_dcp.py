@@ -149,3 +149,61 @@ def test_dcp_tone_curve_applies(tmp_path, flat_frame):
     out_off = np.asarray(develop(flat_frame, pp_off))
     assert abs(out_off[:, 24:-24, 24:-24].mean()
                - base[:, 24:-24, 24:-24].mean()) < 0.01
+
+
+def test_dcp_look_position_after_exposure(tmp_path, flat_frame):
+    """DCP step-2 runs inside the op chain (improcfun.cc:614-620), so a
+    STAGE_1 exposure edit is applied BEFORE the DCP tone curve. With a
+    saturating curve, +1EV before the curve yields < 2x output; the old
+    (wrong) order — curve at colorspace conversion — would give exactly
+    2x."""
+    from art_tpu.color.colorspaces import MATRICES_RGB_TO_XYZ
+
+    cm = np.linalg.inv(MATRICES_RGB_TO_XYZ["sRGB"])
+    # hard shoulder: saturates quickly
+    tc = [[0.0, 0.0], [0.2, 0.7], [0.4, 0.9], [1.0, 1.0]]
+    p = tmp_path / "shoulder.dcp"
+    _write_dcp(p, cm, tone_curve=tc)
+
+    def render(expcomp):
+        pp = ProcParams()
+        pp.icm.input_profile = str(p)
+        pp.icm.tone_curve = True
+        pp.icm.output_profile = "linear"  # keep output TRC linear-ish
+        if expcomp:
+            pp.exposure.enabled = True
+            pp.exposure.expcomp = expcomp
+        return np.asarray(develop(flat_frame, pp))[:, 24:-24, 24:-24]
+
+    base = render(0.0)
+    plus1 = render(1.0)
+    ratio = plus1.mean() / base.mean()
+    # curve-after-exposure compresses the gain well below 2x
+    assert ratio < 1.7, ratio
+    assert ratio > 1.0, ratio
+
+
+def test_dcp_look_early_flag_positions_step(tmp_path, flat_frame):
+    """DCPLookEarly moves step-2 to the head of STAGE_2
+    (improcfun.cc:590-592)."""
+    from art_tpu.color.colorspaces import MATRICES_RGB_TO_XYZ
+    from art_tpu.pipeline.develop import plan
+
+    cm = np.linalg.inv(MATRICES_RGB_TO_XYZ["sRGB"])
+    tc = [[0.0, 0.0], [0.5, 0.6], [1.0, 1.0]]
+    p = tmp_path / "tc2.dcp"
+    _write_dcp(p, cm, tone_curve=tc)
+    pp = ProcParams()
+    pp.icm.input_profile = str(p)
+    pp.icm.tone_curve = True
+    config, data = plan(flat_frame, pp)
+    names = [s[0] for s in config.steps]
+    assert "dcplook_late" in names and "dcplook_early" not in names
+    assert "op:dcplook_late" in data
+    pp.icm.dcp_look_early = True
+    config2, _ = plan(flat_frame, pp)
+    names2 = [s[0] for s in config2.steps]
+    assert "dcplook_early" in names2 and "dcplook_late" not in names2
+    # stage tags match the reference stages
+    st = {s[0]: s[2] for s in config2.steps}
+    assert st["dcplook_early"] == 2
