@@ -1005,6 +1005,157 @@ static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
 }
 
 // ---------------------------------------------------------------------------
+// Sony ARW (reference decode boundary: rtengine/dcraw.cc
+// sony_arw2_load_raw; fresh implementation from the public ARW2 "cRAW"
+// block description). Scope: ARW 2.x compressed (compression 32767,
+// 1 byte/pixel 16-pixel delta blocks + the tag-0x7010 linearization
+// curve), and uncompressed 14/16-bit strips. ARW 1.0 and the newest
+// lossless-compressed variant route through the preconverter hook.
+// ---------------------------------------------------------------------------
+
+static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,
+                            const IFD* raw, ArtRawMeta* meta) {
+    int width = (int)raw->num(256, 0);
+    int height = (int)raw->num(257, 0);
+    int bps = (int)raw->num(258, 16);
+    int compression = (int)raw->num(259, 1);
+    if (width <= 0 || height <= 0 || width > 65535 || height > 65535)
+        return nullptr;
+
+    auto find_any = [&](uint16_t tag) -> const TagValue* {
+        for (auto& ifd : ifds) {
+            const TagValue* v = ifd.find(tag);
+            if (v) return v;
+        }
+        return nullptr;
+    };
+
+    // Sony linearization curve (tag 0x7010 = 28688): four knots in the
+    // 12-bit domain; five segments of slope 1,2,4,8,16
+    std::vector<uint16_t> curve(0x1000);
+    for (int i = 0; i < 0x1000; ++i) curve[i] = (uint16_t)i;
+    const TagValue* sk = find_any(28688);
+    bool have_curve = sk && sk->nums.size() >= 4;
+    if (have_curve) {
+        uint32_t knots[6] = {0, 0, 0, 0, 0, 4095};
+        for (int i = 0; i < 4; ++i)
+            knots[i + 1] = ((uint32_t)sk->nums[i] >> 2) & 0xfff;
+        for (int i = 0; i < 5; ++i)
+            for (uint32_t j = knots[i] + 1;
+                 j <= knots[i + 1] && j < 0x1000; ++j)
+                curve[j] = (uint16_t)(curve[j - 1] + (1u << i));
+    }
+
+    const TagValue* so = raw->find(273);
+    const TagValue* sc = raw->find(279);
+    if (!so || so->nums.empty()) return nullptr;
+    size_t off = (size_t)so->nums[0];
+    size_t bytes = sc && !sc->nums.empty() ? (size_t)sc->nums[0]
+                                           : (off < r.len ? r.len - off : 0);
+    if (off >= r.len) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)width * height,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+
+    double wmax = (1 << std::min(bps, 16)) - 1;
+    if (compression == 32767 && bytes >= (size_t)width * height
+        && off + (size_t)width * height <= r.len) {
+        // ARW2 cRAW: each 16-byte block packs 16 pixels of one CFA color
+        // (written to every other column): 32-bit header with 11-bit
+        // max/min and their 4-bit positions, then fourteen 7-bit deltas
+        // shifted so the span max-min fits 7 bits
+        for (int row = 0; row < height; ++row) {
+            const uint8_t* data = r.buf + off + (size_t)row * width;
+            int col = 0;
+            for (const uint8_t* dp = data; col < width - 30; dp += 16) {
+                uint32_t val = (uint32_t)dp[0] | ((uint32_t)dp[1] << 8)
+                             | ((uint32_t)dp[2] << 16)
+                             | ((uint32_t)dp[3] << 24);
+                int vmax = (int)(val & 0x7ff);
+                int vmin = (int)((val >> 11) & 0x7ff);
+                int imax = (int)((val >> 22) & 0x0f);
+                int imin = (int)((val >> 26) & 0x0f);
+                int sh;
+                for (sh = 0; sh < 4 && (0x80 << sh) <= vmax - vmin; ++sh) {}
+                int bit = 30;
+                uint16_t pix[16];
+                for (int i = 0; i < 16; ++i) {
+                    if (i == imax) {
+                        pix[i] = (uint16_t)vmax;
+                    } else if (i == imin) {
+                        pix[i] = (uint16_t)vmin;
+                    } else {
+                        int b16 = dp[bit >> 3] | (dp[(bit >> 3) + 1] << 8);
+                        int p = (((b16 >> (bit & 7)) & 0x7f) << sh) + vmin;
+                        pix[i] = (uint16_t)std::min(p, 0x7ff);
+                        bit += 7;
+                    }
+                }
+                for (int i = 0; i < 16; ++i, col += 2)
+                    out[(size_t)row * width + col] = curve[(pix[i] << 1)
+                                                           & 0xfff];
+                // two interleaved color phases per 32-column span
+                col -= (col & 1) ? 1 : 31;
+            }
+        }
+        // conservative ARW2 white level (dcraw.cc RT fix); camconst
+        // per-ISO levels override per model
+        wmax = 16300.0;
+    } else if (compression == 1) {
+        if (!decode_strips_tiles(r, *raw, width, height, bps, 1, 1, out)) {
+            free(out);
+            return nullptr;
+        }
+        if (have_curve) wmax = (double)curve[0xffe];
+    } else {
+        free(out);
+        return nullptr;
+    }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    meta->orientation = (int)ifds[0].num(274, 1);
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    const TagValue* cfa = raw->find(33422);
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] =
+            (cfa && cfa->nums.size() >= 4) ? (int)cfa->nums[i] : rggb[i];
+    for (int i = 0; i < 4; ++i) meta->white[i] = wmax;
+    // black level: camconst supplies per-model values (512 on most
+    // bodies); the container itself does not carry a DNG BlackLevel
+    meta->iso = 100.0;
+    const TagValue* iso = find_any(34855);
+    if (iso && !iso->nums.empty()) meta->iso = iso->nums[0];
+
+    // white balance: tag 0x7313 (WB_RGGBLevels) preferred, else 0x7303
+    // (dcraw.cc:6660-6667 ordering fixes)
+    double cm[4] = {0, 0, 0, 0};
+    const TagValue* wb = find_any(29459);
+    if (wb && wb->nums.size() >= 4) {
+        for (int i = 0; i < 4; ++i) cm[i] = wb->nums[i];
+        int i = (cm[1] == 1024 && cm[2] == 1024) ? 2 : 0;
+        std::swap(cm[i], cm[i + 1]);
+    } else if ((wb = find_any(29443)) && wb->nums.size() >= 4) {
+        for (int c = 0; c < 4; ++c) cm[c ^ (c < 2 ? 1 : 0)] = wb->nums[c];
+    }
+    if (cm[0] > 0 && cm[1] > 0 && cm[2] > 0) {
+        meta->as_shot_neutral[0] = cm[1] / cm[0];
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = cm[1] / cm[2];
+    }
+    const TagValue* mk = ifds[0].find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifds[0].find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // Fuji RAF (reference decode boundary: rtengine/dcraw.cc parse_fuji; fresh
 // implementation from the public RAF container description). Scope:
 // the classic layout — big-endian container, CFA-header record list,
@@ -1182,6 +1333,30 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     for (auto& ifd : ifds) {
         if ((int)ifd.num(259, 0) == 34713)
             return decode_nef(r, ifds, meta);
+    }
+
+    // Sony ARW: compression-32767 raw IFD (ARW2 cRAW), or an
+    // uncompressed Sony TIFF that is not a DNG (no DNGVersion tag)
+    for (auto& ifd : ifds) {
+        if ((int)ifd.num(259, 0) == 32767)
+            return decode_arw(r, ifds, &ifd, meta);
+    }
+    {
+        const TagValue* mk0 = ifds[0].find(271);
+        bool is_sony = mk0 && mk0->str.compare(0, 4, "SONY") == 0;
+        if (is_sony && !ifds[0].find(50706)) {
+            const IFD* raw = nullptr;
+            size_t best = 0;
+            for (auto& ifd : ifds) {
+                size_t area = (size_t)ifd.num(256, 0)
+                            * (size_t)ifd.num(257, 0);
+                if (ifd.num(262, 0) == 32803 && area > best) {
+                    raw = &ifd;
+                    best = area;
+                }
+            }
+            if (raw) return decode_arw(r, ifds, raw, meta);
+        }
     }
 
     // pick the raw IFD: prefer PhotometricInterpretation 32803 (CFA) or

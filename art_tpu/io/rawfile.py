@@ -195,11 +195,11 @@ def synthesize_xtrans(rgb01, black=512.0, white=16383.0,
 def load_raw(path) -> RawFrame:
     """Decode a raw file on host. DNG/CR2/NEF/RAF via the native decoder;
     others via registered external preconverters (imgiomanager
-    semantics)."""
+    semantics). Native formats: DNG, CR2, NEF, classic RAF, ARW."""
     from art_tpu.io import dng
 
     ext = os.path.splitext(str(path))[1].lower()
-    if ext in (".dng", ".cr2", ".raf", ".nef"):
+    if ext in (".dng", ".cr2", ".raf", ".nef", ".arw"):
         frame = dng.load_dng(path)
         _apply_camconst_levels(frame)
         if ext != ".raf":

@@ -151,6 +151,20 @@ def get_instance() -> CameraConstantsStore:
     global _instance
     if _instance is None:
         _instance = CameraConstantsStore()
+    if not _instance.loaded_bundled:
+        # the store must work out of the box even without art_tpu.init()
+        # (camconst.cc is always populated by init.cc:100-110; user files
+        # loaded by init() override these entries)
+        import os
+
+        bundled = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "camconst.json")
+        if os.path.isfile(bundled):
+            try:
+                _instance.load_json(bundled)
+            finally:
+                _instance.loaded_bundled = True
     return _instance
 
 
