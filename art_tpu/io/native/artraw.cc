@@ -1005,6 +1005,338 @@ static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
 }
 
 // ---------------------------------------------------------------------------
+// Panasonic RW2 (reference decode boundary: rtengine/panasonic_decoders.cc
+// + dcraw.cc RW2 tag block; fresh implementation from the public RW2
+// format descriptions). Scope: the legacy predictive bitstream, v5
+// byte-blocks, cs6 (10/14-bit sliced pages) and cs7 byte-blocks.
+// ---------------------------------------------------------------------------
+
+// Panasonic streams page the file in 16KB chunks rotated by `load_flags`
+// bytes (the first 0x2008 file bytes of each chunk land at the END of
+// the working buffer). Legacy bit reads walk the page top-down with a
+// 16-byte-group complement on the byte index.
+struct PanaPager {
+    const uint8_t* src;
+    size_t len;
+    size_t pos = 0;      // next chunk start in src
+    uint8_t buf[0x4000];
+    uint32_t vbits = 0;
+    int load_flags;
+    bool ok = true;
+
+    PanaPager(const uint8_t* s, size_t l, int lf)
+        : src(s), len(l), load_flags(lf) {}
+
+    void load_page() {
+        size_t first = 0x4000 - (size_t)load_flags;
+        memset(buf, 0, sizeof(buf));
+        // file order: [first bytes] then [load_flags bytes], rotated
+        for (size_t i = 0; i < first && pos + i < len; ++i)
+            buf[load_flags + i] = src[pos + i];
+        for (size_t j = 0; j < (size_t)load_flags
+             && pos + first + j < len; ++j)
+            buf[j] = src[pos + first + j];
+        pos += 0x4000;
+    }
+
+    uint32_t bits(int nbits) {  // legacy bit reader
+        if (!vbits) load_page();
+        vbits = (vbits - (uint32_t)nbits) & 0x1ffff;
+        int byte = (int)(vbits >> 3) ^ 0x3ff0;
+        uint32_t v = (uint32_t)buf[byte] | ((uint32_t)buf[byte + 1] << 8);
+        return (v >> (vbits & 7)) & ((1u << nbits) - 1);
+    }
+
+    void bytes16(uint8_t* out) {  // v5 sequential 16-byte block
+        if (!vbits) load_page();
+        for (int i = 0; i < 16; ++i) {
+            out[i] = buf[vbits++];
+            vbits &= 0x3fff;
+        }
+    }
+};
+
+// cs6: one 16-byte page holds 14 bit-sliced symbols (widths
+// 14,14,2,10,10,10,2,10,10,10,2,10,10,10); bytes are consumed reversed
+static void rw2_cs6_page(const uint8_t* b, uint32_t* pb) {
+    uint16_t w[16];
+    for (int i = 0; i < 16; ++i) w[i] = b[15 - i];
+    pb[0] = ((uint32_t)w[0] << 6) | (w[1] >> 2);
+    pb[1] = ((((uint32_t)w[1] & 0x3) << 12) | ((uint32_t)w[2] << 4)
+             | (w[3] >> 4)) & 0x3fff;
+    pb[2] = (w[3] >> 2) & 0x3;
+    pb[3] = (((uint32_t)w[3] & 0x3) << 8) | w[4];
+    pb[4] = ((uint32_t)w[5] << 2) | (w[6] >> 6);
+    pb[5] = (((uint32_t)w[6] & 0x3f) << 4) | (w[7] >> 4);
+    pb[6] = (w[7] >> 2) & 0x3;
+    pb[7] = (((uint32_t)w[7] & 0x3) << 8) | w[8];
+    pb[8] = (((uint32_t)w[9] << 2) & 0x3fc) | (w[10] >> 6);
+    pb[9] = (((uint32_t)w[10] << 4) | (w[11] >> 4)) & 0x3ff;
+    pb[10] = (w[11] >> 2) & 0x3;
+    pb[11] = (((uint32_t)w[11] & 0x3) << 8) | w[12];
+    pb[12] = ((((uint32_t)w[13] << 2) & 0x3fc) | (w[14] >> 6)) & 0x3ff;
+    pb[13] = (((uint32_t)w[14] << 4) | (w[15] >> 4)) & 0x3ff;
+}
+
+static uint16_t* decode_rw2(const Reader& r, const std::vector<IFD>& ifds,
+                            ArtRawMeta* meta) {
+    const IFD& ifd0 = ifds[0];
+    int rw = (int)ifd0.num(2, 0);    // sensor width
+    int rh = (int)ifd0.num(3, 0);    // sensor height
+    int bpp = (int)ifd0.num(10, 12);
+    int encoding = (int)ifd0.num(45, 0);
+    if (rw <= 0 || rh <= 0 || rw > 65535 || rh > 65535) return nullptr;
+    const TagValue* offt = ifd0.find(280);
+    if (!offt) offt = ifd0.find(273);
+    if (!offt || offt->nums.empty()) return nullptr;
+    size_t off = (size_t)offt->nums[0];
+    if (off >= r.len) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)rw * rh, sizeof(uint16_t));
+    if (!out) return nullptr;
+    bool ok = true;
+
+    if (encoding == 5) {
+        // v5: 16-byte blocks through the rotated pager, 10 (12-bit) or
+        // 9 (14-bit) pixels per block
+        int blk = bpp == 12 ? 10 : 9;
+        PanaPager pg(r.buf + off, r.len - off, 0x2008);
+        uint8_t by[16];
+        for (int row = 0; row < rh; ++row) {
+            uint16_t* rp = out + (size_t)row * rw;
+            for (int col = 0; col < rw; col += blk) {
+                pg.bytes16(by);
+                if (bpp == 12) {
+                    rp[col] = (uint16_t)(((by[1] & 0xF) << 8) + by[0]);
+                    if (col + 1 < rw) rp[col + 1] =
+                        (uint16_t)(16 * by[2] + (by[1] >> 4));
+                    if (col + 2 < rw) rp[col + 2] =
+                        (uint16_t)(((by[4] & 0xF) << 8) + by[3]);
+                    if (col + 3 < rw) rp[col + 3] =
+                        (uint16_t)(16 * by[5] + (by[4] >> 4));
+                    if (col + 4 < rw) rp[col + 4] =
+                        (uint16_t)(((by[7] & 0xF) << 8) + by[6]);
+                    if (col + 5 < rw) rp[col + 5] =
+                        (uint16_t)(16 * by[8] + (by[7] >> 4));
+                    if (col + 6 < rw) rp[col + 6] =
+                        (uint16_t)(((by[10] & 0xF) << 8) + by[9]);
+                    if (col + 7 < rw) rp[col + 7] =
+                        (uint16_t)(16 * by[11] + (by[10] >> 4));
+                    if (col + 8 < rw) rp[col + 8] =
+                        (uint16_t)(((by[13] & 0xF) << 8) + by[12]);
+                    if (col + 9 < rw) rp[col + 9] =
+                        (uint16_t)(16 * by[14] + (by[13] >> 4));
+                } else {
+                    rp[col] = (uint16_t)(by[0] + ((by[1] & 0x3F) << 8));
+                    if (col + 1 < rw) rp[col + 1] = (uint16_t)
+                        ((by[1] >> 6) + 4 * by[2] + ((by[3] & 0xF) << 10));
+                    if (col + 2 < rw) rp[col + 2] = (uint16_t)
+                        ((by[3] >> 4) + 16 * by[4] + ((by[5] & 3) << 12));
+                    if (col + 3 < rw) rp[col + 3] = (uint16_t)
+                        (((by[5] & 0xFC) >> 2) + (by[6] << 6));
+                    if (col + 4 < rw) rp[col + 4] = (uint16_t)
+                        (by[7] + ((by[8] & 0x3F) << 8));
+                    if (col + 5 < rw) rp[col + 5] = (uint16_t)
+                        ((by[8] >> 6) + 4 * by[9] + ((by[10] & 0xF) << 10));
+                    if (col + 6 < rw) rp[col + 6] = (uint16_t)
+                        ((by[10] >> 4) + 16 * by[11] + ((by[12] & 3) << 12));
+                    if (col + 7 < rw) rp[col + 7] = (uint16_t)
+                        (((by[12] & 0xFC) >> 2) + (by[13] << 6));
+                    if (col + 8 < rw) rp[col + 8] = (uint16_t)
+                        (by[14] + ((by[15] & 0x3F) << 8));
+                }
+            }
+        }
+    } else if (encoding == 6) {
+        // cs6: 16-row strides of 11-pixel blocks with base/multiplier
+        // coded pixel groups
+        int blocksperrow = rw / 11;
+        size_t rowbytes = (size_t)blocksperrow * 16;
+        for (int row = 0; row < rh - 15 && ok; row += 16) {
+            int rows = std::min(16, rh - row);
+            const uint8_t* iobuf = r.buf + off
+                                 + (size_t)(row / 16) * rowbytes * 16;
+            if (off + (size_t)(row / 16) * rowbytes * 16
+                + rowbytes * rows > r.len) { ok = false; break; }
+            for (int crow = 0; crow < rows; ++crow) {
+                uint16_t* rp = out + (size_t)(row + crow) * rw;
+                int col = 0;
+                for (int rb = 0; rb < blocksperrow; ++rb) {
+                    uint32_t pb[14];
+                    rw2_cs6_page(iobuf + (size_t)crow * rowbytes
+                                 + (size_t)rb * 16, pb);
+                    int cur = 0;
+                    uint32_t oddeven[2] = {0, 0}, nonzero[2] = {0, 0};
+                    uint32_t pmul = 0, pixel_base = 0;
+                    for (int pix = 0; pix < 11; ++pix) {
+                        if (pix % 3 == 2) {
+                            uint32_t base = pb[cur++];
+                            if (base == 3) base = 4;
+                            pixel_base = 0x200u << base;
+                            pmul = 1u << base;
+                        }
+                        uint32_t epixel = pb[cur++];
+                        if (oddeven[pix % 2]) {
+                            epixel *= pmul;
+                            if (pixel_base < 0x2000
+                                && nonzero[pix % 2] > pixel_base)
+                                epixel += nonzero[pix % 2] - pixel_base;
+                            nonzero[pix % 2] = epixel;
+                        } else {
+                            oddeven[pix % 2] = epixel;
+                            if (epixel)
+                                nonzero[pix % 2] = epixel;
+                            else
+                                epixel = nonzero[pix % 2];
+                        }
+                        uint32_t spix = epixel - 0xf;
+                        if (spix <= 0xffff)
+                            rp[col++] = (uint16_t)(spix & 0xffff);
+                        else {
+                            epixel = (uint32_t)(((int32_t)(epixel
+                                     + 0x7ffffff1)) >> 0x1f);
+                            rp[col++] = (uint16_t)(epixel & 0x3fff);
+                        }
+                    }
+                }
+            }
+        }
+    } else if (encoding == 7) {
+        // cs7: sequential 16-byte blocks of 9 (14-bit) / 10 (12-bit)
+        // pixels in 16-row strides
+        int blk = bpp == 14 ? 9 : 10;
+        const uint8_t* bytes = r.buf + off;
+        size_t avail = r.len - off;
+        size_t consumed = 0;
+        for (int row = 0; row < rh - 15 && ok; row += 16) {
+            int rows = std::min(16, rh - row);
+            for (int crow = 0; crow < rows; ++crow) {
+                uint16_t* rp = out + (size_t)(row + crow) * rw;
+                for (int col = 0; col < rw - blk + 1; col += blk) {
+                    if (consumed + 16 > avail) { ok = false; break; }
+                    const uint8_t* by = bytes + consumed;
+                    consumed += 16;
+                    if (bpp == 14) {
+                        rp[col] = (uint16_t)(by[0] + ((by[1] & 0x3F) << 8));
+                        rp[col + 1] = (uint16_t)((by[1] >> 6) + 4 * by[2]
+                                      + ((by[3] & 0xF) << 10));
+                        rp[col + 2] = (uint16_t)((by[3] >> 4) + 16 * by[4]
+                                      + ((by[5] & 3) << 12));
+                        rp[col + 3] = (uint16_t)(((by[5] & 0xFC) >> 2)
+                                      + (by[6] << 6));
+                        rp[col + 4] = (uint16_t)(by[7]
+                                      + ((by[8] & 0x3F) << 8));
+                        rp[col + 5] = (uint16_t)((by[8] >> 6) + 4 * by[9]
+                                      + ((by[10] & 0xF) << 10));
+                        rp[col + 6] = (uint16_t)((by[10] >> 4) + 16 * by[11]
+                                      + ((by[12] & 3) << 12));
+                        rp[col + 7] = (uint16_t)(((by[12] & 0xFC) >> 2)
+                                      + (by[13] << 6));
+                        rp[col + 8] = (uint16_t)(by[14]
+                                      + ((by[15] & 0x3F) << 8));
+                    } else {
+                        rp[col] = (uint16_t)(((by[1] & 0xF) << 8) + by[0]);
+                        rp[col + 1] = (uint16_t)(16 * by[2] + (by[1] >> 4));
+                        rp[col + 2] = (uint16_t)(((by[4] & 0xF) << 8)
+                                      + by[3]);
+                        rp[col + 3] = (uint16_t)(16 * by[5] + (by[4] >> 4));
+                        rp[col + 4] = (uint16_t)(((by[7] & 0xF) << 8)
+                                      + by[6]);
+                        rp[col + 5] = (uint16_t)(16 * by[8] + (by[7] >> 4));
+                        rp[col + 6] = (uint16_t)(((by[10] & 0xF) << 8)
+                                      + by[9]);
+                        rp[col + 7] = (uint16_t)(16 * by[11]
+                                      + (by[10] >> 4));
+                        rp[col + 8] = (uint16_t)(((by[13] & 0xF) << 8)
+                                      + by[12]);
+                        rp[col + 9] = (uint16_t)(16 * by[14]
+                                      + (by[13] >> 4));
+                    }
+                }
+            }
+        }
+    } else {
+        // legacy predictive bitstream: 14-pixel groups, two parity
+        // predictors, shift codes every third pixel
+        PanaPager pg(r.buf + off, r.len - off, 0x2008);
+        int sh = 0, pred[2], nonz[2];
+        for (int row = 0; row < rh; ++row) {
+            for (int col = 0; col < rw; ++col) {
+                int i = col % 14;
+                if (i == 0)
+                    pred[0] = pred[1] = nonz[0] = nonz[1] = 0;
+                if (i % 3 == 2)
+                    sh = 4 >> (3 - (int)pg.bits(2));
+                if (nonz[i & 1]) {
+                    int j = (int)pg.bits(8);
+                    if (j) {
+                        if ((pred[i & 1] -= 0x80 << sh) < 0 || sh == 4)
+                            pred[i & 1] &= ~(-1 << sh);
+                        pred[i & 1] += j << sh;
+                    }
+                } else if ((nonz[i & 1] = (int)pg.bits(8)) || i > 11) {
+                    pred[i & 1] = nonz[i & 1] << 4 | (int)pg.bits(4);
+                }
+                out[(size_t)row * rw + col] = (uint16_t)pred[col & 1];
+            }
+        }
+    }
+    if (!ok) { free(out); return nullptr; }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = rw;
+    meta->height = rh;
+    meta->orientation = (int)ifd0.num(274, 1);
+    // crop borders: top, left, bottom, right (tags 4-7)
+    int top = (int)ifd0.num(4, 0), left = (int)ifd0.num(5, 0);
+    int bot = (int)ifd0.num(6, 0), right = (int)ifd0.num(7, 0);
+    if (bot > top && right > left && bot <= rh && right <= rw) {
+        meta->active_area[0] = top;
+        meta->active_area[1] = left;
+        meta->active_area[2] = bot;
+        meta->active_area[3] = right;
+    } else {
+        for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    }
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    // CFA: tag 9, 1..4 -> pattern at raw (0,0)
+    static const int kPat[4][4] = {{0, 1, 1, 2},   // RGGB
+                                   {1, 0, 2, 1},   // GRBG
+                                   {1, 2, 0, 1},   // GBRG
+                                   {2, 1, 1, 0}};  // BGGR
+    int cfa = (int)ifd0.num(9, 1);
+    if (cfa < 1 || cfa > 4) cfa = 1;
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] = kPat[cfa - 1][i];
+    // per-channel black (tags 28-30: R, G, B); camconst black adds a
+    // pedestal on top (dcraw scale merges `black` into cblack)
+    double cbl[3] = {ifd0.num(28, 0), ifd0.num(29, 0), ifd0.num(30, 0)};
+    for (int i = 0; i < 4; ++i)
+        meta->black[i] = cbl[meta->cfa_pattern[i]];
+    double wmax = (1 << std::min(bpp, 16)) - 1;
+    for (int i = 0; i < 4; ++i) meta->white[i] = wmax;
+    meta->iso = ifd0.num(23, 100);
+    // WB: tags 36-38 (R, G, B levels) or legacy 17/18 (R, B over 256)
+    double wr = ifd0.num(36, 0), wg = ifd0.num(37, 0),
+           wb2 = ifd0.num(38, 0);
+    if (wr <= 0 || wg <= 0 || wb2 <= 0) {
+        double r17 = ifd0.num(17, 0), b18 = ifd0.num(18, 0);
+        if (r17 > 0 && b18 > 0) { wr = r17; wg = 256.0; wb2 = b18; }
+    }
+    if (wr > 0 && wg > 0 && wb2 > 0) {
+        meta->as_shot_neutral[0] = wg / wr;
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = wg / wb2;
+    }
+    const TagValue* mk = ifd0.find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifd0.find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // Sony ARW (reference decode boundary: rtengine/dcraw.cc
 // sony_arw2_load_raw; fresh implementation from the public ARW2 "cRAW"
 // block description). Scope: ARW 2.x compressed (compression 32767,
@@ -1299,7 +1631,8 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
         r.little = false;
     else
         return nullptr;
-    if (r.u16(2) != 42) return nullptr;
+    uint16_t magic = r.u16(2);
+    if (magic != 42 && magic != 85) return nullptr;  // 85 = Panasonic RW2
 
     // walk all IFDs (main chain + SubIFDs)
     std::vector<IFD> ifds;
@@ -1324,6 +1657,10 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
         ifds.push_back(std::move(ifd));
     }
     if (ifds.empty()) return nullptr;
+
+    // Panasonic RW2: TIFF magic 85
+    if (magic == 85)
+        return decode_rw2(r, ifds, meta);
 
     // Canon CR2: TIFF with "CR" magic at offset 8
     if (len > 10 && buf[8] == 'C' && buf[9] == 'R')

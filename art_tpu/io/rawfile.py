@@ -199,9 +199,11 @@ def load_raw(path) -> RawFrame:
     from art_tpu.io import dng
 
     ext = os.path.splitext(str(path))[1].lower()
-    if ext in (".dng", ".cr2", ".raf", ".nef", ".arw"):
+    if ext in (".dng", ".cr2", ".raf", ".nef", ".arw", ".rw2"):
         frame = dng.load_dng(path)
-        _apply_camconst_levels(frame)
+        # RW2 carries per-channel blacks in its tags; the camconst value
+        # is an additional pedestal (dcraw merges `black` into cblack)
+        _apply_camconst_levels(frame, black_add=(ext == ".rw2"))
         if ext != ".raf":
             try:
                 from art_tpu.io.metadata import harvest
@@ -226,9 +228,11 @@ def load_raw(path) -> RawFrame:
     )
 
 
-def _apply_camconst_levels(frame: RawFrame):
+def _apply_camconst_levels(frame: RawFrame, black_add=False):
     """Override container levels with camconst per-ISO data when present
-    (reference: camconst.cc get_Levels consulted by RawImage::get_*level)."""
+    (reference: camconst.cc get_Levels consulted by RawImage::get_*level).
+    black_add: treat the camconst black as a pedestal added to the
+    container's per-channel blacks (Panasonic RW2 semantics)."""
     try:
         from art_tpu.raw.camconst import get_instance
 
@@ -242,7 +246,10 @@ def _apply_camconst_levels(frame: RawFrame):
         frame.white = np.asarray(wl, dtype=np.float64)
     bl = cc.black_levels(int(frame.iso))
     if bl is not None and np.any(np.asarray(bl) > 0):
-        frame.black = np.asarray(bl, dtype=np.float64)
+        if black_add:
+            frame.black = frame.black + np.asarray(bl, dtype=np.float64)
+        else:
+            frame.black = np.asarray(bl, dtype=np.float64)
     if frame.cam_xyz is None:
         m = cc.dcraw_matrix()
         if m and len(m) >= 9:
