@@ -103,6 +103,34 @@ def split_poly(fn_t, deg_half, tol=None):
     return out
 
 
+def fit_gamma_split(gamma):
+    """(fwd, inv) split fits for the denoise gamma transfer (plan-time
+    scalar gamma): fwd evaluates x^(1/gamma) on the x^(1/8) warp
+    (wavelet_pallas.gamma_fwd_eval), inv evaluates x^gamma on the sqrt
+    warp (gamma_inv_eval). Replaces jnp.power, which lowers to exp+log
+    on the VPU (~8ms per 3-plane 24MP pass)."""
+    g = float(gamma)
+
+    def fwd_t(t):  # x = ((t+1)/2)^8
+        return np.clip((t + 1.0) / 2.0, 0.0, 1.0) ** (8.0 / g)
+
+    def inv_t(t):  # x = ((t+1)/2)^2
+        return np.clip((t + 1.0) / 2.0, 0.0, 1.0) ** (2.0 * g)
+
+    fwd = None
+    inv = None
+    for dh in (10, 12, 14, 16):
+        if fwd is None:
+            fwd = split_poly(fwd_t, dh, tol=5e-7)
+        if inv is None:
+            inv = split_poly(inv_t, dh, tol=5e-7)
+    if fwd is None:
+        fwd = split_poly(fwd_t, 16)
+    if inv is None:
+        inv = split_poly(inv_t, 16)
+    return fwd, inv
+
+
 def fit_curve_split(dense_lut, deg_half=(10, 12, 14, 16), tol=CHEB_TOL):
     """Fit a (N,) dense curve (uniform on [0,1]) as an even/odd Horner
     split on the sqrt-warped domain t = 2*sqrt(x)-1 (same warp as

@@ -33,20 +33,42 @@ def plan(pp, ctx):
     if not dn.enabled:
         return None
     lum_w = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]][1]
-    # auto chroma: the reference estimates per-image chroma strength
-    # (denoiseComputeParams); the auto factor scales a baseline here and the
-    # wavelet MAD adapts to the actual noise level on device.
+    # auto chroma (denoiseComputeParams, ipdenoise.cc:800): estimate
+    # chrominance + RG/BY offsets from 9 sample-crop noise statistics
     chroma = dn.chrominance
+    chroma_rg = dn.chrominance_redgreen
+    chroma_by = dn.chrominance_blueyellow
     if dn.chrominance_method != 0:  # auto modes
-        chroma = 15.0 * max(dn.chrominance_auto_factor, 0.1)
+        est = None
+        frame = ctx.get("frame") if hasattr(ctx, "get") else None
+        if frame is not None:
+            try:
+                from art_tpu.pipeline.autos import auto_chroma_params
+
+                est = auto_chroma_params(frame, pp)
+            except Exception:
+                est = None
+        factor = max(dn.chrominance_auto_factor, 0.1)
+        if est is not None:
+            ch, rg, by = est
+            chroma = ch * factor
+            chroma_rg = rg * factor
+            chroma_by = by * factor
+        else:  # non-Bayer fallback: scaled baseline
+            chroma = 15.0 * factor
+    from art_tpu.core.curve1d import fit_gamma_split
+
+    gam_fwd, gam_inv = fit_gamma_split(dn.gamma)
     data = {
         "lum_w": lum_w.astype(np.float32),
         "gamma": np.float32(dn.gamma),
+        "gam_fwd": gam_fwd,
+        "gam_inv": gam_inv,
         "lum_strength": np.float32(dn.luminance / 25.0),
         "lum_detail": np.float32(np.clip(dn.luminance_detail / 100.0, 0, 1)),
         "chroma": np.float32(chroma / 10.0),
-        "chroma_rg": np.float32(dn.chrominance_redgreen / 10.0),
-        "chroma_by": np.float32(dn.chrominance_blueyellow / 10.0),
+        "chroma_rg": np.float32(chroma_rg / 10.0),
+        "chroma_by": np.float32(chroma_by / 10.0),
         "ecomp": np.float32(2.0 ** (pp.exposure.expcomp
                                     if pp.exposure.enabled
                                     and pp.exposure.expcomp > 0 else 0.0)),
@@ -151,6 +173,36 @@ def apply(rgb, data, static):
     do_lum, nl, guided, aggressive = static
     lw = data["lum_w"]
     ec = data["ecomp"]
+
+    cb = data["chroma"] + data["chroma_by"]
+    cr = data["chroma"] + data["chroma_rg"]
+    strengths = [data["lum_strength"] if do_lum else 0.0, cb, cr]
+    blends = [data["lum_detail"] if do_lum else 0.0, 0.0, 0.0]
+
+    # fused path: gamma+YUV+wavelet as one Pallas kernel (no guided/
+    # NLMeans post passes that need the YUV planes on the outside)
+    if nl == 0 and guided == 0 and rgb.ndim == 3:
+        from art_tpu.ops.wavelet_pallas import (gamma_fwd_eval,
+                                                wavelet_denoise_pallas_rgb)
+
+        h, w = rgb.shape[-2:]
+        cs_ = min(1024, h, w)
+        y0, x0 = (h - cs_) // 2, (w - cs_) // 2
+        crop = rgb[:, y0 : y0 + cs_, x0 : x0 + cs_] * (ec / MAXVAL)
+        cf = data["gam_fwd"]
+        xn = gamma_fwd_eval(crop, [cf[0, k] for k in range(cf.shape[1])],
+                            [cf[1, k] for k in range(cf.shape[1])])
+        yc, uc, vc = rgb_to_yuv(xn, lw)
+        from art_tpu.ops.wavelet import _B3, _sep_blur
+
+        sigmas = [mad_sigma(p - _sep_blur(p, _B3, 1))
+                  for p in (yc, uc, vc)]
+        out = wavelet_denoise_pallas_rgb(
+            rgb, lw, ec, data["gam_fwd"], data["gam_inv"],
+            sigmas, strengths, blends)
+        if out is not None:
+            return out
+
     x = rgb * ec
 
     # gamma-domain transform (RGB_denoise dnparams.gamma)
@@ -159,8 +211,6 @@ def apply(rgb, data, static):
 
     y, u, v = rgb_to_yuv(xn, lw)
 
-    cb = data["chroma"] + data["chroma_by"]
-    cr = data["chroma"] + data["chroma_rg"]
     if do_lum:
         y, u, v = _wavelet_denoise_planes(
             [y, u, v], [data["lum_strength"], cb, cr],

@@ -63,3 +63,72 @@ def test_denoise_identity_when_zero():
     out = develop(frame, pp)
     base = develop(frame, ProcParams())
     np.testing.assert_allclose(out, base, atol=0.02)
+
+
+def test_fused_rgb_kernel_matches_unfused():
+    """The fused gamma+YUV+wavelet kernel (interpret mode on CPU) matches
+    the unfused pow/yuv path to Chebyshev-fit tolerance."""
+    import jax.numpy as jnp
+
+    from art_tpu.color.yuv import rgb_to_yuv, yuv_to_rgb
+    from art_tpu.ops import denoise as dn
+    from art_tpu.params import ProcParams
+
+    pp = ProcParams()
+    pp.denoise.enabled = True
+    pp.denoise.luminance = 20.0
+    pp.denoise.chrominance = 20.0
+    static, data = dn.plan(pp, {"working_profile": "Rec2020"})
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 60000, (3, 256, 1024))
+                      .astype(np.float32))
+    datj = {k: jnp.asarray(v) for k, v in data.items()}
+    fused = np.asarray(dn.apply(rgb, datj, static))
+
+    x = rgb * data["ecomp"]
+    xn = jnp.power(jnp.clip(x / 65535.0, 0, 1), 1.0 / data["gamma"])
+    y, u, v = rgb_to_yuv(xn, data["lum_w"])
+    cb = data["chroma"] + data["chroma_by"]
+    cr = data["chroma"] + data["chroma_rg"]
+    y2, u2, v2 = dn._wavelet_denoise_planes(
+        [y, u, v], [data["lum_strength"], cb, cr],
+        [data["lum_detail"], 0.0, 0.0])
+    ref = yuv_to_rgb(y2, u2, v2, data["lum_w"])
+    ref = jnp.power(jnp.clip(ref, 0, 1), data["gamma"]) * 65535.0 \
+        / data["ecomp"]
+    assert np.abs(fused - np.asarray(ref)).max() < 1.0  # of 65535
+
+
+def test_auto_chroma_scales_with_noise():
+    """denoiseComputeParams AUTOMATIC: the estimate grows with injected
+    chroma noise (ipdenoise.cc:800)."""
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.autos import auto_chroma_params
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:256, 0:384]
+    base = 0.25 + 0.3 * (xx / 384) + 0.1 * np.sin(yy / 40)
+
+    def est(noise):
+        rgb = np.stack([base * 0.9, base, base * 0.8]).astype(np.float32)
+        rgb = rgb + rng.normal(0, noise, rgb.shape).astype(np.float32)
+        frame = synthesize_bayer(np.clip(rgb, 0, 1), "RGGB")
+        return auto_chroma_params(frame, ProcParams())
+
+    clean = est(0.0)
+    noisy = est(0.01)
+    assert clean is not None and noisy is not None
+    assert noisy[0] > 2.0 * clean[0]
+    # plumbed through the op planner (chrominance_method auto)
+    from art_tpu.ops import denoise as dnmod
+
+    pp = ProcParams()
+    pp.denoise.enabled = True
+    pp.denoise.chrominance_method = 1
+    rgb = np.stack([base * 0.9, base, base * 0.8]).astype(np.float32)
+    rgb = rgb + rng.normal(0, 0.01, rgb.shape).astype(np.float32)
+    frame = synthesize_bayer(np.clip(rgb, 0, 1), "RGGB")
+    _, data = dnmod.plan(pp, {"working_profile": "Rec2020",
+                              "frame": frame})
+    assert data["chroma"] > 0.1  # estimated, not the 15.0 stub
