@@ -190,12 +190,54 @@ OUTPUT_GAMMAS = {
 }
 
 
+def _cheb_sqrtwarp(x, coeffs, xp):
+    """Clenshaw eval of a curve1d.fit_curve 1-D Chebyshev series on the
+    sqrt-warped [0,1] domain."""
+    t = 2.0 * xp.sqrt(xp.clip(x, 0.0, 1.0)) - 1.0
+    t2 = 2.0 * t
+    b1 = xp.zeros_like(t)
+    b2 = xp.zeros_like(t)
+    for k in range(len(coeffs) - 1, 0, -1):
+        b1, b2 = coeffs[k] + t2 * b1 - b2, b1
+    return coeffs[0] + t * b1 - b2
+
+
+def _para_fwd(x, p, xp):
+    """ICC parametric curve type-4 general form (iccfile.py), i.e. the
+    tag's device->linear (decode) direction:
+    y = (a*x + b)^g + e for x >= d, else c*x + f."""
+    g, a, b, c, d, e, f = p
+    x = xp.clip(x, 0.0, 1.0)
+    hi = xp.power(xp.maximum(a * x + b, 0.0), g) + e
+    lo = c * x + f
+    return xp.where(x >= d, hi, lo)
+
+
+def _para_inv(y, p, xp):
+    g, a, b, c, d, e, f = p
+    y = xp.clip(y, 0.0, 1.0)
+    yd = c * d + f
+    hi = (xp.power(xp.maximum(y - e, 0.0), 1.0 / g) - b) / (a or 1.0)
+    lo = (y - f) / c if c else xp.zeros_like(y)
+    return xp.where(y >= yd, hi, lo)
+
+
 def encode_trc(x, trc, xp=np):
     kind, g = trc
     if kind == "srgb":
         return srgb_gamma(x, xp)
     if kind == "gamma":
         return pure_gamma(xp.clip(x, 0.0, 1.0), 1.0 / g, xp)
+    if kind == "para":  # ICC parametric: encode = tag inverse
+        return _para_inv(x, g, xp)
+    if kind == "cheb":  # fitted sampled TRC: (enc, dec) series
+        return xp.clip(_cheb_sqrtwarp(x, g[0], xp), 0.0, 1.0)
+    if kind == "lut":
+        s = xp.asarray(g[0]) if xp is not np else np.asarray(g[0])
+        idx = xp.clip(x, 0.0, 1.0) * (len(g[0]) - 1)
+        i0 = xp.clip(idx.astype("int32"), 0, len(g[0]) - 2)
+        fr = idx - i0
+        return s[i0] * (1 - fr) + s[i0 + 1] * fr
     return xp.clip(x, 0.0, 1.0)
 
 
@@ -205,6 +247,16 @@ def decode_trc(y, trc, xp=np):
         return srgb_igamma(y, xp)
     if kind == "gamma":
         return pure_gamma(xp.clip(y, 0.0, 1.0), g, xp)
+    if kind == "para":  # decode = the tag's own formula
+        return _para_fwd(y, g, xp)
+    if kind == "cheb":
+        return xp.clip(_cheb_sqrtwarp(y, g[1], xp), 0.0, 1.0)
+    if kind == "lut":
+        s = xp.asarray(g[1]) if xp is not np else np.asarray(g[1])
+        idx = xp.clip(y, 0.0, 1.0) * (len(g[1]) - 1)
+        i0 = xp.clip(idx.astype("int32"), 0, len(g[1]) - 2)
+        fr = idx - i0
+        return s[i0] * (1 - fr) + s[i0 + 1] * fr
     return xp.clip(y, 0.0, 1.0)
 
 

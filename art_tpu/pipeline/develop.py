@@ -65,6 +65,8 @@ class PipelineConfig:
     dem_kwargs: tuple = ()
     # DCP input profile static part (has_hsm, dims, srgb_enc, has_tc, bl)
     dcp: tuple | None = None
+    # camera input .icc profile: shaper TRC applied before the matrix
+    icc_input_trc: tuple | None = None
     pixelshift: bool = False  # combine 4 shifted frames instead of demosaic
     darkframe: bool = False
     flatfield: tuple | None = None  # (blur_type, radius)
@@ -327,7 +329,26 @@ def plan(frame, pp, fast=False):
 
         # DCP input profile (dcp.cc; replaces the plain matrix transform)
         dcp_static = None
+        icc_input_trc = None
         ip = pp.icm.input_profile
+        if isinstance(ip, str) and ip.lower().endswith((".icc", ".icm")):
+            # camera input ICC (iccstore.cc custom input profiles):
+            # shaper-matrix device->PCS replaces cam2work; the TRC
+            # linearizes device values before the matrix
+            import os as _os
+
+            if _os.path.isfile(ip):
+                try:
+                    from art_tpu.color.iccfile import load_icc
+
+                    prof = load_icc(ip)
+                    data["cam2work"] = (
+                        cs.MATRICES_XYZ_TO_RGB[icc_working]
+                        @ prof["rgb_to_xyz"]).astype(np.float32)
+                    if prof["trc"][0] != "linear":
+                        icc_input_trc = prof["trc"]
+                except Exception:
+                    pass
         if isinstance(ip, str) and ip.lower().endswith(".dcp"):
             import os as _os
 
@@ -576,14 +597,28 @@ def plan(frame, pp, fast=False):
             prsharp, pr_data = planned
             data["op:prsharpen"] = pr_data
 
-    # output transform (rgb2out fast path: matrix + TRC)
+    # output transform (rgb2out fast path: matrix + TRC). User .icc
+    # files reduce to the same pair via color.iccfile.
     from art_tpu.color.iccstore import get_instance
 
     out_prof = _resolve_output_profile(pp.icm.output_profile)
-    work2out = (np.linalg.inv(cs.MATRICES_RGB_TO_XYZ[out_prof])
+    if out_prof.lower().endswith((".icc", ".icm")):
+        try:
+            from art_tpu.color.iccfile import load_icc
+
+            prof = load_icc(out_prof)
+            out_mat = prof["rgb_to_xyz"]
+            out_trc = prof["trc"]
+        except Exception:
+            out_prof = "sRGB"
+            out_mat = cs.MATRICES_RGB_TO_XYZ["sRGB"]
+            out_trc = get_instance().output_profile("sRGB").trc
+    else:
+        out_mat = cs.MATRICES_RGB_TO_XYZ[out_prof]
+        out_trc = get_instance().output_profile(out_prof).trc
+    work2out = (np.linalg.inv(out_mat)
                 @ cs.MATRICES_RGB_TO_XYZ[icc_working])
     data["work2out"] = work2out.astype(np.float32)
-    out_trc = get_instance().output_profile(out_prof).trc
 
     config = PipelineConfig(
         pattern=frame.pattern if frame.is_raw else None,
@@ -612,6 +647,7 @@ def plan(frame, pp, fast=False):
         gainmap=gainmap if frame.is_raw else False,
         dem_kwargs=tuple(dem_kwargs) if frame.is_raw else (),
         dcp=dcp_static if frame.is_raw else None,
+        icc_input_trc=icc_input_trc if frame.is_raw else None,
         coarse=coarse,
         transform=do_transform,
         linedn=(linedn, linedn_dir),
@@ -651,7 +687,22 @@ def _resize_scale(pp, h, w, crop=None):
 
 
 def _resolve_output_profile(name: str) -> str:
+    """Map an output-profile name to a named colorspace, or return the
+    path itself for a user .icc/.icm file (iccstore.cc:224-366: arbitrary
+    profile files resolve by path or by basename in the user icc dir)."""
+    import os as _os
+
     n = (name or "").lower()
+    if n.endswith((".icc", ".icm")):
+        if _os.path.isfile(name):
+            return name
+        from art_tpu.settings import settings as _st
+
+        if _st.user_dir:
+            cand = _os.path.join(_st.user_dir, "iccprofiles",
+                                 _os.path.basename(name))
+            if _os.path.isfile(cand):
+                return cand
     if "2020" in n:
         return "Rec2020"
     if "adobe" in n or "medium" in n:
@@ -815,6 +866,11 @@ def _build_run(config: PipelineConfig):
 
             rgb = apply_dcp(rgb, data, config.dcp)
         else:
+            if config.icc_input_trc is not None:
+                # camera ICC shaper curve linearizes device values
+                # before the matrix (iccfile.load_icc input profiles)
+                rgb = cs.decode_trc(rgb * (1.0 / MAXVAL),
+                                    config.icc_input_trc, jnp) * MAXVAL
             rgb = _mat3(data["cam2work"], rgb)
 
         for name, static, stage in config.steps:
@@ -943,9 +999,15 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
                 pass
         icc = None
         try:
-            from art_tpu.color.iccwrite import make_icc
+            op = _resolve_output_profile(pp.icm.output_profile)
+            if op.lower().endswith((".icc", ".icm")):
+                # embed the user's actual profile file
+                with open(op, "rb") as f:
+                    icc = f.read()
+            else:
+                from art_tpu.color.iccwrite import make_icc
 
-            icc = make_icc(_resolve_output_profile(pp.icm.output_profile))
+                icc = make_icc(op)
         except Exception:
             icc = None
         save_image(output_path, out, bits=bits, quality=quality,
