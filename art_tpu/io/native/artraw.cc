@@ -1488,11 +1488,437 @@ static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,
 }
 
 // ---------------------------------------------------------------------------
-// Fuji RAF (reference decode boundary: rtengine/dcraw.cc parse_fuji; fresh
-// implementation from the public RAF container description). Scope:
-// the classic layout — big-endian container, CFA-header record list,
-// uncompressed 16-bit or bit-packed payload. Fuji-compressed RAF routes
-// through the external preconverter hook.
+// Fuji lossless compression ("RAF compressed", X-Trans and GFX Bayer
+// bodies). Reference decode boundary: rtengine/fujicompressed.cc (the
+// LibRaw-derived strip decoder). This is a fresh implementation of the
+// published bitstream model: per-768-column strips, 6-sensor-row line
+// groups held in per-color sliding line buffers (5 R, 8 G, 5 B lines),
+// adaptive Golomb coding with 41 quantized-gradient contexts per parity,
+// and a fixed 6-pass traversal schedule in which some even lanes are
+// reconstructed by deterministic interpolation instead of being coded.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct FujiQuant {
+    int bits;            // 12 / 14 / 16
+    int total;           // 1 << bits
+    int qmax;            // total - 1
+    int line_width;      // samples per color line (block cols * 2/3 or /2)
+    int escape_at;       // zero-run >= this => raw escape (3*bits - 1)
+    int max_grad_base;   // gradient accumulator reset base (total >> 6)
+    std::vector<int8_t> qtab;  // diff -> level, index diff + qmax
+
+    void init(int bits_, int line_width_) {
+        bits = bits_;
+        total = 1 << bits;
+        qmax = total - 1;
+        line_width = line_width_;
+        escape_at = 4 * bits - bits - 1;
+        max_grad_base = total >> 6;
+        qtab.assign(2 * total - 1, 0);
+        // level thresholds of the published model: 0x12 / 0x43 / 0x114
+        const int q1 = 0x12, q2 = 0x43, q3 = 0x114;
+        for (int d = -qmax; d <= qmax; ++d) {
+            int a = d < 0 ? -d : d, lv;
+            if (d == 0) lv = 0;
+            else if (a < q1) lv = 1;
+            else if (a < q2) lv = 2;
+            else if (a < q3) lv = 3;
+            else lv = 4;
+            qtab[d + qmax] = (int8_t)(d < 0 ? -lv : lv);
+        }
+        // negative side uses <= at the thresholds (asymmetric by 1)
+        for (int d = -qmax; d < 0; ++d) {
+            int a = -d, lv;
+            if (a >= q3) lv = 4;
+            else if (a >= q2) lv = 3;
+            else if (a >= q1) lv = 2;
+            else lv = 1;
+            qtab[d + qmax] = (int8_t)(-lv);
+        }
+    }
+    int quant_grad(int v1, int v2) const {
+        auto clampi = [&](int v) {
+            return v < -qmax ? -qmax : (v > qmax ? qmax : v);
+        };
+        return 9 * qtab[clampi(v1) + qmax] + qtab[clampi(v2) + qmax];
+    }
+};
+
+// MSB-first bit reader over an in-memory strip; reads past the end
+// yield zeros (the container's size table may understate a strip).
+struct FujiBits {
+    const uint8_t* p;
+    size_t n;
+    size_t pos = 0;  // bit position
+    int zero_run() {
+        int c = 0;
+        while (c < 512) {
+            size_t byte = pos >> 3;
+            int bit = byte < n ? (p[byte] >> (7 - (pos & 7))) & 1 : 1;
+            ++pos;
+            if (bit) break;
+            ++c;
+        }
+        return c;
+    }
+    int read(int k) {
+        int v = 0;
+        while (k-- > 0) {
+            size_t byte = pos >> 3;
+            int bit = byte < n ? (p[byte] >> (7 - (pos & 7))) & 1 : 0;
+            v = v << 1 | bit;
+            ++pos;
+        }
+        return v;
+    }
+};
+
+// context accumulators: (sum of |code|, count) per quantized gradient
+struct FujiGrad { int acc, cnt; };
+
+// number of shift bits so that cnt << k >= acc (the adaptive Golomb k)
+static int fuji_code_bits(const FujiGrad& g) {
+    int k = 0;
+    if (g.acc > g.cnt)
+        while (k <= 12 && (g.cnt << ++k) < g.acc) {}
+    return k;
+}
+
+// line-buffer indices: 5 red, 8 green, 5 blue sliding lines
+enum { FL_R = 0, FL_G = 5, FL_B = 13, FL_TOTAL = 18 };
+
+struct FujiStrip {
+    const FujiQuant& q;
+    FujiBits bits;
+    std::vector<uint16_t> lines;         // FL_TOTAL x (line_width + 2)
+    FujiGrad grad_even[3][41], grad_odd[3][41];
+
+    explicit FujiStrip(const FujiQuant& q_, const uint8_t* data, size_t n)
+        : q(q_), bits{data, n} {
+        lines.assign((size_t)FL_TOTAL * (q.line_width + 2), 0);
+        for (int s = 0; s < 3; ++s)
+            for (int g = 0; g < 41; ++g) {
+                grad_even[s][g] = {q.max_grad_base, 1};
+                grad_odd[s][g] = {q.max_grad_base, 1};
+            }
+    }
+    uint16_t* line(int i) { return lines.data() + (size_t)i * (q.line_width + 2); }
+
+    // neighbor fetches; `pos` is the sample index, storage is offset by
+    // the 1-element left border.
+    // even lanes predict from the two prior lines of the same color;
+    // odd lanes also see the already-decoded flanking even samples.
+    int decode_code(FujiGrad& g) {
+        int run = bits.zero_run();
+        int code;
+        if (run < q.escape_at) {
+            int k = fuji_code_bits(g);
+            code = (run << k) | bits.read(k);
+        } else {
+            code = bits.read(q.bits) + 1;
+        }
+        // sign unfold + context update
+        int mag = code & 1 ? -1 - code / 2 : code / 2;
+        g.acc += mag < 0 ? -mag : mag;
+        if (g.cnt == 0x40) { g.acc >>= 1; g.cnt >>= 1; }
+        g.cnt++;
+        return mag;
+    }
+    void store(uint16_t* cur, int pos, int val) {
+        if (val < 0) val += q.total;
+        else if (val > q.qmax) val -= q.total;
+        cur[1 + pos] = val < 0 ? 0 : (val > q.qmax ? q.qmax : val);
+    }
+    void sample_even(int li, int pos, FujiGrad* grads) {
+        uint16_t* cur = line(li);
+        const uint16_t* up = line(li - 1);
+        const uint16_t* up2 = line(li - 2);
+        int b = up[1 + pos], c = up[pos], d = up[2 + pos], f = up2[1 + pos];
+        int grad = q.quant_grad(b - f, c - b);
+        int db = std::abs(c - b), df = std::abs(f - b), dd = std::abs(d - b);
+        int pred;
+        if (db > df && db > dd) pred = f + d + 2 * b;
+        else if (dd > db && dd > df) pred = f + c + 2 * b;
+        else pred = d + c + 2 * b;
+        int mag = decode_code(grads[std::abs(grad)]);
+        store(cur, pos, (pred >> 2) + (grad < 0 ? -mag : mag));
+    }
+    void sample_odd(int li, int pos, FujiGrad* grads) {
+        uint16_t* cur = line(li);
+        const uint16_t* up = line(li - 1);
+        int a = cur[pos], b = up[1 + pos], c = up[pos], d = up[2 + pos],
+            gg = cur[2 + pos];
+        int grad = q.quant_grad(b - c, c - a);
+        int pred = ((b > c && b > d) || (b < c && b < d))
+                       ? (gg + a + 2 * b) >> 2
+                       : (a + gg) >> 1;
+        int mag = decode_code(grads[std::abs(grad)]);
+        store(cur, pos, pred + (grad < 0 ? -mag : mag));
+    }
+    void interp_even(int li, int pos) {
+        uint16_t* cur = line(li);
+        const uint16_t* up = line(li - 1);
+        const uint16_t* up2 = line(li - 2);
+        int b = up[1 + pos], c = up[pos], d = up[2 + pos], f = up2[1 + pos];
+        int db = std::abs(c - b), df = std::abs(f - b), dd = std::abs(d - b);
+        if (db > df && db > dd) cur[1 + pos] = (f + d + 2 * b) >> 2;
+        else if (dd > db && dd > df) cur[1 + pos] = (f + c + 2 * b) >> 2;
+        else cur[1 + pos] = (d + c + 2 * b) >> 2;
+    }
+    // propagate the left/right borders of a color group from each line's
+    // predecessor (interior first/last sample)
+    void extend(int first, int last) {
+        for (int i = first; i <= last; ++i) {
+            uint16_t* cur = line(i);
+            const uint16_t* prev = line(i - 1);
+            cur[0] = prev[1];
+            cur[q.line_width + 1] = prev[q.line_width];
+        }
+    }
+};
+
+// Even-lane coding mode per (pass, line): the X-Trans schedule leaves
+// some lanes interpolated (they carry no sensor sample at that offset).
+enum FujiEvenMode {
+    FEM_SAMPLE,        // every even lane coded
+    FEM_INTERP,        // every even lane interpolated
+    FEM_INTERP_MOD0,   // interpolated when pos % 4 == 0, coded otherwise
+    FEM_INTERP_MOD2,   // interpolated when pos % 4 == 2, coded otherwise
+};
+
+struct FujiPass {
+    int la, lb;       // the two lines decoded in this pass
+    int gset;         // gradient context set (0..2)
+    FujiEvenMode ma, mb;
+};
+
+// The six passes cover lines (R2,G2)(G3,B2)(R3,G4)(G5,B3)(R4,G6)(G7,B4)
+// with gradient sets 0,1,2,0,1,2. X-Trans additionally interpolates the
+// even lanes listed below; Bayer codes every lane.
+static const FujiPass kFujiPassesXtrans[6] = {
+    {FL_R + 2, FL_G + 2, 0, FEM_INTERP, FEM_SAMPLE},
+    {FL_G + 3, FL_B + 2, 1, FEM_SAMPLE, FEM_INTERP},
+    {FL_R + 3, FL_G + 4, 2, FEM_INTERP_MOD0, FEM_INTERP},
+    {FL_G + 5, FL_B + 3, 0, FEM_SAMPLE, FEM_INTERP_MOD2},
+    {FL_R + 4, FL_G + 6, 1, FEM_INTERP_MOD2, FEM_SAMPLE},
+    {FL_G + 7, FL_B + 4, 2, FEM_INTERP, FEM_INTERP_MOD0},
+};
+static const FujiPass kFujiPassesBayer[6] = {
+    {FL_R + 2, FL_G + 2, 0, FEM_SAMPLE, FEM_SAMPLE},
+    {FL_G + 3, FL_B + 2, 1, FEM_SAMPLE, FEM_SAMPLE},
+    {FL_R + 3, FL_G + 4, 2, FEM_SAMPLE, FEM_SAMPLE},
+    {FL_G + 5, FL_B + 3, 0, FEM_SAMPLE, FEM_SAMPLE},
+    {FL_R + 4, FL_G + 6, 1, FEM_SAMPLE, FEM_SAMPLE},
+    {FL_G + 7, FL_B + 4, 2, FEM_SAMPLE, FEM_SAMPLE},
+};
+
+// one even lane of one pass-line: coded or interpolated per the mode.
+// X-Trans passes 5/2 interpolate B4/R3 on pos%4==0 and pass 3/4 on
+// pos%4==2; the remaining lanes are coded against the pass context set.
+static inline void fuji_even_step(FujiStrip& st, int li, int pos,
+                                  FujiEvenMode m, FujiGrad* grads) {
+    bool interp;
+    switch (m) {
+        case FEM_SAMPLE: interp = false; break;
+        case FEM_INTERP: interp = true; break;
+        case FEM_INTERP_MOD0: interp = (pos & 3) == 0; break;
+        default: interp = (pos & 3) == 2; break;
+    }
+    if (interp) st.interp_even(li, pos);
+    else st.sample_even(li, pos, grads);
+}
+
+static void fuji_decode_pass(FujiStrip& st, const FujiPass& ps) {
+    const int lw = st.q.line_width;
+    int even = 0, odd = 1;
+    while (even < lw || odd < lw) {
+        if (even < lw) {
+            fuji_even_step(st, ps.la, even, ps.ma, st.grad_even[ps.gset]);
+            fuji_even_step(st, ps.lb, even, ps.mb, st.grad_even[ps.gset]);
+            even += 2;
+        }
+        // odd lanes trail the even front by 4 samples (they need the
+        // flanking even values of the *next* even position)
+        if (even > 8) {
+            st.sample_odd(ps.la, odd, st.grad_odd[ps.gset]);
+            st.sample_odd(ps.lb, odd, st.grad_odd[ps.gset]);
+            odd += 2;
+        }
+    }
+    // border propagation: R/G after the R-passes, G/B after the B-passes
+    if (ps.la < FL_G) {  // pass decoded an R line
+        st.extend(FL_R + 2, FL_R + 4);
+        st.extend(FL_G + 2, FL_G + 7);
+    } else {
+        st.extend(FL_G + 2, FL_G + 7);
+        st.extend(FL_B + 2, FL_B + 4);
+    }
+}
+
+// map one decoded 6-row line group into the output mosaic
+static void fuji_emit_lines(FujiStrip& st, uint16_t* out, int out_w,
+                            int row0, int col0, int ncols,
+                            const int* xtrans /* 36 or null */,
+                            const int* bayer2x2 /* 4 */) {
+    for (int rr = 0; rr < 6; ++rr) {
+        uint16_t* dst = out + (size_t)(row0 + rr) * out_w + col0;
+        for (int p = 0; p < ncols; ++p) {
+            int color = xtrans ? xtrans[rr * 6 + p % 6]
+                               : bayer2x2[(rr & 1) * 2 + (p & 1)];
+            int li, idx;
+            if (xtrans) {
+                // X-Trans line packing: 2/3 of the lanes carry samples
+                idx = (((p * 2 / 3) & ~1) | (p % 3 & 1)) + ((p % 3) >> 1);
+            } else {
+                idx = p >> 1;
+            }
+            if (color == 0) li = FL_R + 2 + (rr >> 1);
+            else if (color == 2) li = FL_B + 2 + (rr >> 1);
+            else li = FL_G + 2 + rr;
+            dst[p] = st.line(li)[1 + idx];
+        }
+    }
+    // slide history: last two decoded lines of each color become the
+    // predecessors for the next group, the rest reset to zero
+    const int lw2 = st.q.line_width + 2;
+    auto cp = [&](int dst_i, int src_i) {
+        memcpy(st.line(dst_i), st.line(src_i), lw2 * sizeof(uint16_t));
+    };
+    cp(FL_R + 0, FL_R + 3); cp(FL_R + 1, FL_R + 4);
+    cp(FL_G + 0, FL_G + 6); cp(FL_G + 1, FL_G + 7);
+    cp(FL_B + 0, FL_B + 3); cp(FL_B + 1, FL_B + 4);
+    auto zero_group = [&](int first, int count) {
+        memset(st.line(first), 0, (size_t)count * lw2 * sizeof(uint16_t));
+        st.line(first)[0] = st.line(first - 1)[1];
+        st.line(first)[st.q.line_width + 1] =
+            st.line(first - 1)[st.q.line_width];
+    };
+    zero_group(FL_R + 2, 3);
+    zero_group(FL_G + 2, 6);
+    zero_group(FL_B + 2, 3);
+}
+
+struct FujiHeader {
+    int raw_type;        // 16 = X-Trans, 0 = Bayer
+    int bits;
+    int height, width, rounded_width;
+    int block_size, blocks, total_lines;
+};
+
+// parse + validate the 16-byte stream header (big-endian)
+static bool fuji_parse_header(const uint8_t* p, size_t n, FujiHeader* h) {
+    if (n < 16) return false;
+    auto u16 = [&](int off) { return p[off] << 8 | p[off + 1]; };
+    if (u16(0) != 0x4953 || p[2] != 1) return false;
+    h->raw_type = p[3];
+    h->bits = p[4];
+    h->height = u16(5);
+    h->rounded_width = u16(7);
+    h->width = u16(9);
+    h->block_size = u16(11);
+    h->blocks = p[13];
+    h->total_lines = u16(14);
+    if (h->height > 0x3000 || h->height < 6 || h->height % 6) return false;
+    if (h->width > 0x3000 || h->width < 0x300 || h->width % 24) return false;
+    if (h->block_size != 0x300) return false;
+    if (h->rounded_width > 0x3000 || h->rounded_width < h->block_size ||
+        h->rounded_width % h->block_size ||
+        h->rounded_width - h->width >= h->block_size)
+        return false;
+    if (h->blocks == 0 || h->blocks > 0x10 ||
+        h->blocks != h->rounded_width / h->block_size)
+        return false;
+    if (h->total_lines == 0 || h->total_lines > 0x800 ||
+        h->total_lines != h->height / 6)
+        return false;
+    if (h->bits != 12 && h->bits != 14 && h->bits != 16) return false;
+    if (h->raw_type != 16 && h->raw_type != 0) return false;
+    if (h->raw_type == 16 && h->block_size % 3) return false;
+    if (h->raw_type == 0 && h->block_size & 1) return false;
+    return true;
+}
+
+// full-stream decode: header, block size table, then per-strip decode.
+// `data` points at the 16-byte header. Returns a height x width plane.
+static uint16_t* fuji_compressed_decode(const uint8_t* data, size_t n,
+                                        FujiHeader* h,
+                                        const int* xtrans,
+                                        const int* bayer2x2) {
+    if (!fuji_parse_header(data, n, h)) return nullptr;
+    size_t table = 16;
+    size_t strip0 = (size_t)h->blocks * 4;
+    if (strip0 & 0xC) strip0 += 0x10 - (strip0 & 0xC);
+    strip0 += 16;
+    if (strip0 > n) return nullptr;
+
+    FujiQuant q;
+    int bw = h->block_size;
+    q.init(h->bits, h->raw_type == 16 ? bw * 2 / 3 : bw / 2);
+
+    uint16_t* out = (uint16_t*)calloc((size_t)h->height * h->width,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+
+    size_t off = strip0;
+    for (int blk = 0; blk < h->blocks; ++blk) {
+        uint32_t bsz = (uint32_t)data[table + 4 * blk] << 24 |
+                       (uint32_t)data[table + 4 * blk + 1] << 16 |
+                       (uint32_t)data[table + 4 * blk + 2] << 8 |
+                       (uint32_t)data[table + 4 * blk + 3];
+        size_t avail = off < n ? n - off : 0;
+        FujiStrip st(q, data + (off < n ? off : n),
+                     std::min((size_t)bsz + 16, avail));
+        int col0 = blk * bw;
+        int ncols = std::min(bw, h->width - col0);
+        const FujiPass* sched =
+            h->raw_type == 16 ? kFujiPassesXtrans : kFujiPassesBayer;
+        for (int ln = 0; ln < h->total_lines; ++ln) {
+            for (int ps = 0; ps < 6; ++ps) fuji_decode_pass(st, sched[ps]);
+            fuji_emit_lines(st, out, h->width, ln * 6, col0, ncols,
+                            h->raw_type == 16 ? xtrans : nullptr, bayer2x2);
+        }
+        off += bsz;
+    }
+    return out;
+}
+
+// Fuji 14-bit packed payload (7 bytes -> 4 samples, byte-swapped dwords)
+static void fuji_unpack14(const uint8_t* src, size_t n, uint16_t* dst,
+                          int height, int width) {
+    size_t linelen = (size_t)width * 7 / 4;
+    std::vector<uint8_t> sw(linelen);
+    for (int row = 0; row < height; ++row) {
+        const uint8_t* ln = src + row * linelen;
+        if (ln + linelen > src + n) break;
+        // undo the 32-bit byte swap, then read 14-bit fields MSB-first
+        for (size_t i = 0; i + 3 < linelen; i += 4) {
+            sw[i] = ln[i + 3]; sw[i + 1] = ln[i + 2];
+            sw[i + 2] = ln[i + 1]; sw[i + 3] = ln[i];
+        }
+        for (size_t i = linelen & ~size_t(3); i < linelen; ++i) sw[i] = 0;
+        uint16_t* drow = dst + (size_t)row * width;
+        for (int sp = 0, dp = 0; dp + 4 <= width &&
+                                 sp + 7 <= (int)linelen; sp += 7, dp += 4) {
+            const uint8_t* s = sw.data() + sp;
+            drow[dp] = s[0] << 6 | s[1] >> 2;
+            drow[dp + 1] = (s[1] & 0x3) << 12 | s[2] << 4 | s[3] >> 4;
+            drow[dp + 2] = (s[3] & 0xF) << 10 | s[4] << 2 | s[5] >> 6;
+            drow[dp + 3] = (s[5] & 0x3F) << 8 | s[6];
+        }
+    }
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// Fuji RAF (reference decode boundary: rtengine/dcraw.cc parse_fuji +
+// rawimage.cc:724 fuji dispatch; fresh implementation from the public RAF
+// container description). Layouts: the classic record-list container with
+// a direct uncompressed payload, and the modern container whose CFA
+// section is an embedded TIFF whose strip is uncompressed 16-bit, 14-bit
+// packed, or Fuji-lossless-compressed (fujicompressed.cc role).
 // ---------------------------------------------------------------------------
 
 static uint16_t* decode_raf(const uint8_t* buf, size_t len,
@@ -1528,12 +1954,12 @@ static uint16_t* decode_raf(const uint8_t* buf, size_t len,
             case 0x121:  // (super CCD dims; prefer 0x100 when present)
                 if (!rh) { rh = br.u16(dp); rw = br.u16(dp + 2); }
                 break;
-            case 0x131: {  // X-Trans pattern, 36 bytes (dcraw order)
+            case 0x131: {  // X-Trans pattern, 36 bytes (stored reversed:
+                           // byte k is pattern cell 35-k, dcraw.cc:7683)
                 if (sz >= 36) {
                     for (int k = 0; k < 36; ++k) {
-                        int v = buf[dp + k];
+                        int v = buf[dp + 35 - k] & 3;
                         if (v > 2) v = 1;
-                        // dcraw reads into xtrans[...] mirrored; keep raster
                         xtrans[k] = v;
                     }
                     has_xtrans = true;
@@ -1557,10 +1983,27 @@ static uint16_t* decode_raf(const uint8_t* buf, size_t len,
     if (rh <= 0 || rw <= 0 || rh > 65535 || rw > 65535) return nullptr;
 
     size_t npix = (size_t)rh * rw;
-    uint16_t* out = (uint16_t*)calloc(npix, sizeof(uint16_t));
-    if (!out) return nullptr;
     int bps = 16;
-    if (cfa_len >= npix * 2) {
+    uint16_t* out = nullptr;
+    static const int kRGGB[4] = {0, 1, 1, 2};
+    FujiHeader fh{};
+    bool compressed = cfa_len >= 16 &&
+                      fuji_parse_header(buf + cfa_off, cfa_len, &fh);
+    if (compressed) {
+        // Fuji lossless-compressed stream (fujicompressed.cc role).
+        // Dims come from the stream header (parse_fuji_compressed_header
+        // overrides raw_width/raw_height, fujicompressed.cc:1026-1027).
+        if (fh.raw_type == 16 && !has_xtrans) return nullptr;
+        out = fuji_compressed_decode(buf + cfa_off, cfa_len, &fh,
+                                     has_xtrans ? xtrans : nullptr, kRGGB);
+        if (!out) return nullptr;
+        rh = fh.height;
+        rw = fh.width;
+        npix = (size_t)rh * rw;
+        bps = fh.bits;
+    } else if (cfa_len >= npix * 2) {
+        out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+        if (!out) return nullptr;
         // 16-bit; RAF payloads are little-endian on modern bodies
         for (size_t i = 0; i < npix; ++i)
             out[i] = (uint16_t)(buf[cfa_off + 2 * i]
@@ -1568,15 +2011,20 @@ static uint16_t* decode_raf(const uint8_t* buf, size_t len,
         uint16_t mx = 0;
         for (size_t i = 0; i < npix; i += 97) mx = std::max(mx, out[i]);
         bps = mx > 16383 ? 16 : 14;
-    } else if (cfa_len * 8 >= npix * 14) {
-        unpack_bits(buf + cfa_off, cfa_len, out, npix, 14, true);
+    } else if (cfa_len * 4 >= npix * 7) {
+        // 14-bit packed, 7 bytes -> 4 samples in byte-swapped dwords
+        // (fuji_14bit_load_raw, rawimage.cc:726-727)
+        out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+        if (!out) return nullptr;
+        fuji_unpack14(buf + cfa_off, cfa_len, out, rh, rw);
         bps = 14;
     } else if (cfa_len * 8 >= npix * 12) {
+        out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+        if (!out) return nullptr;
         unpack_bits(buf + cfa_off, cfa_len, out, npix, 12, true);
         bps = 12;
     } else {
-        free(out);  // fuji-compressed payload: preconverter scope
-        return nullptr;
+        return nullptr;  // unknown payload: preconverter scope
     }
 
     memset(meta, 0, sizeof(*meta));

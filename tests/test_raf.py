@@ -36,3 +36,50 @@ def test_raf_bayer_fallback(tmp_path):
     assert fr.xtrans is None
     assert fr.pattern is not None and len(fr.pattern) == 4
     np.testing.assert_array_equal(fr.cfa, mosaic.astype(np.float32))
+
+
+def test_raf_compressed_xtrans_roundtrip(tmp_path):
+    from tests.util_raf_compressed import write_raf_compressed
+
+    rng = np.random.default_rng(7)
+    # smooth base + noise so both the Golomb fast path and escapes fire
+    base = np.linspace(200, 3200, 768)[None, :] + np.linspace(0, 400, 12)[:, None]
+    mosaic = (base + rng.normal(0, 60, size=(12, 768))).clip(0, 4095)
+    mosaic = np.round(mosaic).astype(np.uint16)
+    mosaic[3, 100] = 4095  # spikes -> raw escape codes
+    mosaic[7, 500] = 0
+    p = str(tmp_path / "comp.raf")
+    achievable = write_raf_compressed(p, mosaic, bits=12,
+                                      xtrans=XTRANS_CANONICAL)
+    fr = load_raw(p)
+    assert fr.xtrans == XTRANS_CANONICAL
+    assert fr.white[0] == 4095.0
+    np.testing.assert_array_equal(fr.cfa, achievable.astype(np.float32))
+    # the schedule interpolates only lanes without sensor samples: the
+    # achievable mosaic must equal the input everywhere
+    np.testing.assert_array_equal(achievable, mosaic)
+
+
+def test_raf_compressed_bayer_multiblock(tmp_path):
+    from tests.util_raf_compressed import write_raf_compressed
+
+    rng = np.random.default_rng(13)
+    mosaic = rng.integers(0, 16384, size=(12, 1536)).astype(np.uint16)
+    p = str(tmp_path / "gfx.raf")
+    achievable = write_raf_compressed(p, mosaic, bits=14, xtrans=None)
+    fr = load_raw(p)
+    assert fr.xtrans is None
+    assert fr.white[0] == 16383.0
+    np.testing.assert_array_equal(fr.cfa, achievable.astype(np.float32))
+    np.testing.assert_array_equal(achievable, mosaic)  # bayer: all coded
+
+
+def test_raf_14bit_packed(tmp_path):
+    from tests.util_raf import pack_fuji14
+
+    rng = np.random.default_rng(5)
+    mosaic = rng.integers(0, 16384, size=(24, 96)).astype(np.uint16)
+    p = str(tmp_path / "packed.raf")
+    write_raf(p, mosaic, xtrans=None, payload=pack_fuji14(mosaic))
+    fr = load_raw(p)
+    np.testing.assert_array_equal(fr.cfa, mosaic.astype(np.float32))
