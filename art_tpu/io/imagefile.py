@@ -14,13 +14,16 @@ from art_tpu.core.image import MAXVAL
 
 
 def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
-               exif_bytes=None, exif_tags=None, uncompressed=False):
+               exif_bytes=None, exif_tags=None, uncompressed=False,
+               xmp_bytes=None, iptc_iim=None):
     """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W).
 
     Output matrix per the reference (imageio.h:90-96, main-cli.cc:878-887):
     JPEG 8-bit; PNG 8/16-bit; TIFF 8/16-bit uint or 32-bit float, deflate
-    unless ``uncompressed``.
-    """
+    unless ``uncompressed``. ``xmp_bytes``/``iptc_iim`` carry the XMP
+    packet and IPTC-IIM record stream into the container (APP1/APP13 for
+    JPEG, iTXt for PNG, tags 700/33723 for TIFF — metadata.cc saveToImage
+    role)."""
     arr = np.asarray(rgb_encoded01)
     assert arr.ndim == 3 and arr.shape[0] == 3
     import os
@@ -36,7 +39,8 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
         from art_tpu.io.tiffwrite import write_tiff
 
         write_tiff(path, chw, bits=bits, compress=not uncompressed,
-                   icc_bytes=icc_bytes, exif_tags=exif_tags)
+                   icc_bytes=icc_bytes, exif_tags=exif_tags,
+                   xmp_bytes=xmp_bytes, iptc_iim=iptc_iim)
         return
     if bits == 16 and lower.endswith(".png"):
         # PIL PNG 16-bit is single channel only; use opencv for RGB48
@@ -54,7 +58,19 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
         kwargs.update(icc_profile=icc_bytes)
     if exif_bytes:
         kwargs.update(exif=exif_bytes)
+    if lower.endswith(".png") and xmp_bytes:
+        from PIL.PngImagePlugin import PngInfo
+
+        info = PngInfo()
+        info.add_itxt("XML:com.adobe.xmp", xmp_bytes.decode("utf-8"),
+                      zip=False)
+        kwargs.update(pnginfo=info)
     img.save(path, **kwargs)
+    if (lower.endswith(".jpg") or lower.endswith(".jpeg")) and \
+            (xmp_bytes or iptc_iim):
+        from art_tpu.io.xmp import insert_jpeg_segments
+
+        insert_jpeg_segments(path, xmp_bytes=xmp_bytes, iptc_iim=iptc_iim)
 
 
 def load_std_image(path):

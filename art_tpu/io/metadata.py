@@ -165,7 +165,8 @@ def build_exif_bytes(tags, software="art-tpu 0.1"):
 
     ex = Image.Exif()
     ifd0 = {271: "make", 272: "model", 274: "orientation", 306: "datetime",
-            315: "artist", 33432: "copyright"}
+            315: "artist", 33432: "copyright", 270: "image_description",
+            18246: "rating"}
     for tag, key in ifd0.items():
         if tags.get(key) is not None:
             ex[tag] = tags[key]

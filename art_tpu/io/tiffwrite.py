@@ -94,11 +94,13 @@ class _IFD:
 
 
 def write_tiff(path, rgb01, bits=16, compress=True, icc_bytes=None,
-               exif_tags=None, software="art-tpu"):
+               exif_tags=None, software="art-tpu", xmp_bytes=None,
+               iptc_iim=None):
     """Write (3, H, W) float RGB in [0,1] as an RGB TIFF.
 
     bits: 8 or 16 (unsigned int) or 32 (IEEE float, values kept linear
-    in [0,1] as encoded by the output TRC upstream).
+    in [0,1] as encoded by the output TRC upstream). ``xmp_bytes`` lands
+    in tag 700 (XMP packet), ``iptc_iim`` in tag 33723.
     """
     arr = np.asarray(rgb01, dtype=np.float32)
     assert arr.ndim == 3 and arr.shape[0] == 3, arr.shape
@@ -153,6 +155,10 @@ def write_tiff(path, rgb01, bits=16, compress=True, icc_bytes=None,
         ifd.add(317, T_SHORT, [predictor])
     if icc_bytes:
         ifd.add(34675, T_UNDEF, icc_bytes)
+    if xmp_bytes:
+        ifd.add(700, T_BYTE, xmp_bytes)
+    if iptc_iim:
+        ifd.add(33723, T_UNDEF, iptc_iim)
 
     tags = exif_tags or {}
     for tag, (key, typ) in _IFD0_TAGS.items():

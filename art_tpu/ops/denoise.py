@@ -83,8 +83,15 @@ def plan(pp, ctx):
     if nl:
         data["nl_h2"] = np.float32(((nl / 100.0) ** 0.9 / 10.0) ** 2)
         data["nl_detail"] = np.float32(np.clip(dn.nl_detail / 100.0, 0, 0.99))
+    # block-DCT detail recovery (FTblockDN.cc:1479) runs when the
+    # Luminance Detail slider is engaged; at 0 the pass is a numerical
+    # no-op (attenuation factor ~0.007) and is skipped
+    use_dct = bool(dn.luminance > 0 and dn.luminance_detail > 0)
+    if use_dct:
+        data["lum_detail_dct"] = np.float32(dn.luminance_detail)
     return (bool(dn.luminance > 0), nl, guided,
-            bool(dn.aggressive)), data
+            bool(dn.aggressive), use_dct,
+            int(dn.luminance_detail_threshold) if use_dct else 0), data
 
 
 def _mad_sigma_crop(x):
@@ -170,18 +177,21 @@ def _nlmeans(y, h2_base, detail, search_radius=5, patch_radius=2):
 
 
 def apply(rgb, data, static):
-    do_lum, nl, guided, aggressive = static
+    do_lum, nl, guided, aggressive, use_dct, detail_thresh = static
     lw = data["lum_w"]
     ec = data["ecomp"]
 
     cb = data["chroma"] + data["chroma_by"]
     cr = data["chroma"] + data["chroma_rg"]
     strengths = [data["lum_strength"] if do_lum else 0.0, cb, cr]
-    blends = [data["lum_detail"] if do_lum else 0.0, 0.0, 0.0]
+    # with the real DCT detail pass engaged, the wavelet runs a pure
+    # shrink and the residual detail comes back through the DCT filter
+    blends = [data["lum_detail"] if do_lum and not use_dct else 0.0,
+              0.0, 0.0]
 
     # fused path: gamma+YUV+wavelet as one Pallas kernel (no guided/
     # NLMeans post passes that need the YUV planes on the outside)
-    if nl == 0 and guided == 0 and rgb.ndim == 3:
+    if nl == 0 and guided == 0 and not use_dct and rgb.ndim == 3:
         from art_tpu.ops.wavelet_pallas import (gamma_fwd_eval,
                                                 wavelet_denoise_pallas_rgb)
 
@@ -212,9 +222,14 @@ def apply(rgb, data, static):
     y, u, v = rgb_to_yuv(xn, lw)
 
     if do_lum:
+        y_pre = y
         y, u, v = _wavelet_denoise_planes(
-            [y, u, v], [data["lum_strength"], cb, cr],
-            [data["lum_detail"], 0.0, 0.0])
+            [y, u, v], [data["lum_strength"], cb, cr], blends)
+        if use_dct:
+            from art_tpu.ops.dct_detail import dct_detail_recovery
+
+            y = dct_detail_recovery(y_pre, y, data["lum_detail_dct"],
+                                    detail_thresh)
     else:
         u, v = _wavelet_denoise_planes([u, v], [cb, cr], [0.0, 0.0])
 

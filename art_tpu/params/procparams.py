@@ -923,12 +923,91 @@ class SpotParams(ParamGroup):
         return True
 
 
+# .arp key <-> exiv2 key maps for the Exif/IPTC change lists
+# (procparams.cc:3246-3284)
+EXIF_ARP_KEYS = {
+    "Copyright": "Exif.Image.Copyright",
+    "Artist": "Exif.Image.Artist",
+    "ImageDescription": "Exif.Image.ImageDescription",
+    "Exif.UserComment": "Exif.Photo.UserComment",
+    "ISOSpeed": "Exif.Photo.ISOSpeedRatings",
+    "FNumber": "Exif.Photo.FNumber",
+    "ShutterSpeed": "Exif.Photo.ExposureTime",
+    "FocalLength": "Exif.Photo.FocalLength",
+    "ExpComp": "Exif.Photo.ExposureBiasValue",
+    "Flash": "Exif.Photo.Flash",
+    "Make": "Exif.Image.Make",
+    "Model": "Exif.Image.Model",
+    "Lens": "Exif.Photo.LensModel",
+    "DateTime": "Exif.Photo.DateTimeOriginal",
+    "XResolution": "Exif.Image.XResolution",
+    "YResolution": "Exif.Image.YResolution",
+}
+IPTC_ARP_KEYS = {
+    "Title": "Iptc.Application2.ObjectName",
+    "Category": "Iptc.Application2.Category",
+    "SupplementalCategories": "Iptc.Application2.SuppCategory",
+    "Keywords": "Iptc.Application2.Keywords",
+    "Instructions": "Iptc.Application2.SpecialInstructions",
+    "DateCreated": "Iptc.Application2.DateCreated",
+    "Creator": "Iptc.Application2.Byline",
+    "CreatorJobTitle": "Iptc.Application2.BylineTitle",
+    "City": "Iptc.Application2.City",
+    "Province": "Iptc.Application2.ProvinceState",
+    "Country": "Iptc.Application2.CountryName",
+    "TransReference": "Iptc.Application2.TransmissionReference",
+    "Headline": "Iptc.Application2.Headline",
+    "Credit": "Iptc.Application2.Credit",
+    "Source": "Iptc.Application2.Source",
+    "Copyright": "Iptc.Application2.Copyright",
+    "Caption": "Iptc.Application2.Caption",
+    "CaptionWriter": "Iptc.Application2.Writer",
+}
+
+
 @dataclass
 class MetaDataParams(ParamGroup):
+    """MetaData + the Exif/IPTC change-list groups (procparams.h:1212,
+    save/load procparams.cc:4256-4288, 5950-6006)."""
+
     ARP_GROUP = "MetaData"
-    ARP_SPEC = _spec(mode=("Mode", "i"), exif_keys=("ExifKeys", "s"))
+    ARP_SPEC = _spec(mode=("Mode", "i"), exif_keys=("ExifKeys", "s"),
+                     notes=("Notes", "s"))
     mode: int = 1  # 0=tunnel 1=edit 2=strip
     exif_keys: str = ""
+    notes: str = ""
+    # change lists keyed by exiv2 names: {"Exif.Image.Artist": "..."} /
+    # {"Iptc.Application2.Keywords": ["a", "b"]}
+    exif: dict = field(default_factory=dict)
+    iptc: dict = field(default_factory=dict)
+
+    def to_keyfile(self, kf):
+        super().to_keyfile(kf)
+        for arp_key, exiv_key in EXIF_ARP_KEYS.items():
+            if exiv_key in self.exif:
+                kf.set("Exif", arp_key, str(self.exif[exiv_key]))
+        for arp_key, exiv_key in IPTC_ARP_KEYS.items():
+            if exiv_key in self.iptc:
+                vals = self.iptc[exiv_key]
+                if isinstance(vals, str):
+                    vals = [vals]
+                kf.set("IPTC", arp_key, ";".join(str(v) for v in vals) + ";")
+
+    def update_from_keyfile(self, kf):
+        hit = super().update_from_keyfile(kf)
+        if "Exif" in kf.groups:
+            for arp_key, val in kf.groups["Exif"].items():
+                exiv_key = EXIF_ARP_KEYS.get(arp_key)
+                if exiv_key:
+                    self.exif[exiv_key] = val
+                    hit = True
+        if "IPTC" in kf.groups:
+            for arp_key, val in kf.groups["IPTC"].items():
+                exiv_key = IPTC_ARP_KEYS.get(arp_key)
+                if exiv_key:
+                    self.iptc[exiv_key] = [v for v in val.split(";") if v]
+                    hit = True
+        return hit
 
 
 @dataclass
@@ -1021,7 +1100,7 @@ class ProcParams:
         if kf.has("Version", "Version"):
             self.pp_version = kf.get_int("Version", "Version", PP_VERSION)
         known = {g.ARP_GROUP for g in self._groups()} | {"Version"}
-        known |= {"RAW Bayer", "RAW X-Trans"}
+        known |= {"RAW Bayer", "RAW X-Trans", "Exif", "IPTC"}
         for g in self._groups():
             g.update_from_keyfile(kf)
         for group, kv in kf.groups.items():

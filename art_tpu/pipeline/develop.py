@@ -984,14 +984,50 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         # 2=strip; rtengine/metadata.cc semantics)
         exif_bytes = None
         exif_tags = None
+        xmp_bytes = None
+        iptc_iim = None
         if pp.metadata.mode != 2 and frame.filename:
             try:
                 from art_tpu.io.metadata import build_exif_bytes, harvest
+                from art_tpu.io.xmp import (build_iptc_iim, read_xmp_sidecar,
+                                            serialize_xmp, xmp_exif_overrides)
+                from art_tpu.settings import settings as _settings
 
                 tags, _ = harvest(frame.filename)
-                if pp.metadata.mode == 1 and pp.metadata.exif_keys:
-                    keep = set(pp.metadata.exif_keys.split(";"))
-                    tags = {k: v for k, v in tags.items() if k in keep}
+                # sidecar XMP wins over in-file values (do_merge_xmp,
+                # metadata.cc:463); rating and a few dc fields promote
+                # into EXIF like exiv2's moveXmpToExif
+                xmp_props = read_xmp_sidecar(frame.filename,
+                                             _settings.xmp_sidecar_style)
+                if xmp_props:
+                    tags.update(xmp_exif_overrides(xmp_props))
+                if pp.metadata.mode == 1:
+                    if pp.metadata.exif_keys:
+                        keep = set(pp.metadata.exif_keys.split(";"))
+                        tags = {k: v for k, v in tags.items() if k in keep}
+                    # ProcParams Exif change list (procparams.cc:4262)
+                    _EXIF_FIELD = {
+                        "Exif.Image.Copyright": "copyright",
+                        "Exif.Image.Artist": "artist",
+                        "Exif.Image.ImageDescription": "image_description",
+                        "Exif.Image.Make": "make",
+                        "Exif.Image.Model": "model",
+                        "Exif.Photo.LensModel": "lens_model",
+                        "Exif.Photo.DateTimeOriginal": "datetime_original",
+                    }
+                    for exiv_key, val in pp.metadata.exif.items():
+                        fkey = _EXIF_FIELD.get(exiv_key)
+                        if fkey:
+                            tags[fkey] = val
+                    if pp.metadata.iptc:
+                        iptc_iim = build_iptc_iim(pp.metadata.iptc)
+                if xmp_props:
+                    if pp.metadata.notes:
+                        xmp_props["Xmp.ART.notes"] = pp.metadata.notes
+                    xmp_bytes = serialize_xmp(xmp_props)
+                elif pp.metadata.notes:
+                    xmp_bytes = serialize_xmp(
+                        {"Xmp.ART.notes": pp.metadata.notes})
                 if tags:
                     exif_bytes = build_exif_bytes(tags)
                     exif_tags = tags
@@ -1012,6 +1048,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
             icc = None
         save_image(output_path, out, bits=bits, quality=quality,
                    exif_bytes=exif_bytes, exif_tags=exif_tags,
-                   icc_bytes=icc, uncompressed=uncompressed)
+                   icc_bytes=icc, uncompressed=uncompressed,
+                   xmp_bytes=xmp_bytes, iptc_iim=iptc_iim)
         _tick("encode+metadata", t)
     return out

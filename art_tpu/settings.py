@@ -30,6 +30,9 @@ class Settings:
     # Pad images to multiples of this tile edge before jit (ARCHITECTURE.md:
     # bucket-and-pad keeps the jit cache small; 128 matches lane width).
     pad_multiple: int = 128
+    # XMP sidecar naming (settings.h XmpSidecarStyle): "std" = file.xmp,
+    # "ext" = file.raw.xmp
+    xmp_sidecar_style: str = "std"
 
 
 settings = Settings()
