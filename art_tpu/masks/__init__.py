@@ -60,6 +60,17 @@ class MaskSpec:
     drawn_contrast: list = dataclasses.field(default_factory=lambda: [0])
     drawn_mode: int = 0  # 0=INTERSECT 1=ADD 2=ADD_BOUNDED
     drawn_strokes: list = dataclasses.field(default_factory=list)
+    name: str = ""
+    # LinkedMask (procparams.h:267): reuse a named mask from another tool
+    linked_enabled: bool = False
+    linked_inverted: bool = False
+    linked_toolname: str = ""
+    linked_name: str = ""
+    # ExternalMask (procparams.h:280): greyscale image file as a mask
+    external_enabled: bool = False
+    external_inverted: bool = False
+    external_filename: str = ""
+    external_feather: float = 0.0
 
     @classmethod
     def from_keyfile(cls, kf, group, suffix, prefix=""):
@@ -113,12 +124,30 @@ class MaskSpec:
                         g("DeltaEMaskH", "f", 0.0))
         m.deltae_range = g("DeltaEMaskRange", "f", 1.0)
         m.deltae_decay = g("DeltaEMaskDecay", "f", 1.0)
+        m.name = g("MaskName", "s", "")
+        # linked mask: "toolname|maskname" (procparams.cc:1403-1416)
+        m.linked_enabled = g("LinkedMaskEnabled", "b", False)
+        m.linked_inverted = g("LinkedMaskInverted", "b", False)
+        ref = g("LinkedMask", "s", "")
+        if "|" in ref:
+            m.linked_toolname, m.linked_name = ref.split("|", 1)
+        # external mask (procparams.cc:1418-1424)
+        m.external_enabled = g("ExternalMaskEnabled", "b", False)
+        m.external_inverted = g("ExternalMaskInverted", "b", False)
+        m.external_filename = g("ExternalMaskFilename", "s", "")
+        if m.external_filename.startswith("file://"):
+            from urllib.parse import unquote, urlparse
+
+            m.external_filename = unquote(urlparse(m.external_filename).path)
+        m.external_feather = g("ExternalMaskFeather", "f", 0.0)
         return m
 
     def is_trivial(self):
         return not (self.parametric_enabled or self.area_enabled
                     or self.deltae_enabled or self.inverted
                     or (self.drawn_enabled and self.drawn_strokes)
+                    or (self.linked_enabled and self.linked_name)
+                    or (self.external_enabled and self.external_filename)
                     or (self.curve and len(self.curve) > 1))
 
 
@@ -236,8 +265,69 @@ def rasterize_drawn(spec: "MaskSpec", h, w):
     return mask.astype(np.float32)
 
 
-def plan_mask(mask: MaskSpec, shape):
-    """Host planner for one region mask -> (static, data)."""
+# reference toolnames used in LinkedMask refs (ipcolorcorrection.cc:236,
+# iplocalcontrast.cc:454, ipsmoothing.cc:929, iptextureboost.cc:210)
+_TOOL_GROUPS = {
+    "colorcorrection": "ColorCorrection",
+    "smoothing": "Smoothing",
+    "textureboost": "TextureBoost",
+    "localcontrast": "Local Contrast",
+}
+
+
+def build_mask_registry(pp):
+    """(toolname, mask name) -> MaskSpec over every masked tool in `pp`
+    (LinkedMaskManager role, masks.cc:806-865). Cached on the instance."""
+    reg = getattr(pp, "_mask_registry", None)
+    if reg is not None:
+        return reg
+    from art_tpu.params.keyfile import KeyFile
+
+    reg = {}
+    for toolname, group in _TOOL_GROUPS.items():
+        if group not in pp.extra:
+            continue
+        kf = KeyFile()
+        kf.groups[group] = dict(pp.extra[group])
+        j = 1
+        while j <= 64:
+            sfx = f"_{j}"
+            if not kf.has(group, f"MaskEnabled{sfx}") and \
+                    not kf.has(group, f"MaskName{sfx}"):
+                break
+            m = MaskSpec.from_keyfile(kf, group, sfx)
+            if m.name and m.enabled:
+                reg[(toolname, m.name)] = m
+            j += 1
+    pp._mask_registry = reg
+    return reg
+
+
+def _load_external_mask(filename, h, w, inverted):
+    """Greyscale mask image -> (h, w) float plane (ExternalMaskManager::
+    apply_mask, masks.cc:951-1023: green channel, bilinear resample,
+    optional inversion)."""
+    import numpy as _np
+    from PIL import Image
+
+    img = Image.open(filename)
+    if img.mode not in ("L", "I;16", "F"):
+        img = img.convert("RGB")
+    img = img.resize((w, h), Image.BILINEAR)
+    a = _np.asarray(img, dtype=_np.float32)
+    if a.ndim == 3:
+        a = a[..., 1]  # green channel, masks.cc:979
+    scale = 65535.0 if a.max() > 255.0 else (255.0 if a.max() > 1.0 else 1.0)
+    a = _np.clip(a / scale, 0.0, 1.0)
+    if inverted:
+        a = 1.0 - a
+    return a
+
+
+def plan_mask(mask: MaskSpec, shape, pp=None):
+    """Host planner for one region mask -> (static, data).
+
+    `pp` enables LinkedMask resolution against the other tools' masks."""
     h, w = shape
     data = {}
     use_param = False
@@ -271,11 +361,40 @@ def plan_mask(mask: MaskSpec, shape):
         data["de_ref"] = np.array(mask.deltae_lch, dtype=np.float32)
         data["de_range"] = np.float32(mask.deltae_range)
         data["de_decay"] = np.float32(max(mask.deltae_decay, 1e-3))
+    # external mask file (masks.cc:1396)
+    ext_radius = -1
+    if mask.external_enabled and mask.external_filename:
+        try:
+            data["ext"] = _load_external_mask(
+                mask.external_filename, h, w, mask.external_inverted)
+            # feather -> guided-filter radius (masks.cc:1025-1030)
+            ext_radius = int(mask.external_feather / 100.0
+                             * min(h, w) * 0.1 + 0.5) \
+                if mask.external_feather > 0 else 0
+        except OSError:
+            ext_radius = -1
+    # linked mask: evaluate the referenced tool's mask spec on the same
+    # input (masks.cc:1411-1425; deviation: the reference multiplies the
+    # source tool's mask as computed at that tool's pipeline position,
+    # we re-evaluate its spec at this op's input — identical except for
+    # inter-op image changes)
+    linked_static = None
+    if mask.linked_enabled and mask.linked_name and pp is not None:
+        reg = build_mask_registry(pp)
+        src = reg.get((mask.linked_toolname, mask.linked_name))
+        if src is not None:
+            src = dataclasses.replace(src, linked_enabled=False,
+                                      external_enabled=False)
+            linked_static, linked_data = plan_mask(src, shape)
+            for k, v in linked_data.items():
+                data["linked:" + k] = v
     static = (use_param, use_area, use_curve, use_de,
               bool(mask.inverted), float(mask.parametric_blur),
               float(mask.area_blur), int(mask.posterization),
               float(mask.opacity), drawn_mode,
-              float(np.clip(mask.drawn_opacity, 0.0, 1.0)))
+              float(np.clip(mask.drawn_opacity, 0.0, 1.0)),
+              ext_radius, linked_static,
+              bool(mask.linked_inverted))
     return static, data
 
 
@@ -283,6 +402,9 @@ def eval_mask(rgb, ws, static, data):
     """Device: evaluate one region mask -> (H, W) in [0,1]."""
     (use_param, use_area, use_curve, use_de, inverted, pblur, ablur,
      posterization, opacity, drawn_mode, drawn_alpha) = static[:11]
+    ext_radius = static[11] if len(static) > 11 else -1
+    linked_static = static[12] if len(static) > 12 else None
+    linked_inverted = static[13] if len(static) > 13 else False
 
     def apply_drawn(m):
         f = drawn_alpha * data["drawn"]
@@ -326,6 +448,21 @@ def eval_mask(rgb, ws, static, data):
         if ablur > 0:
             area = gauss_blur(area, ablur)
         m = m * area
+    if ext_radius >= 0:  # external mask multiplies in (masks.cc:1396)
+        ext = jnp.asarray(data["ext"])
+        if ext_radius > 0:
+            from art_tpu.ops.filters import guided_filter
+
+            ext = guided_filter(l01, ext, ext_radius, 1e-7)
+        m = m * ext
+    if linked_static is not None:  # linked mask multiplies in (:1411)
+        lm = eval_mask(rgb, ws,
+                       linked_static,
+                       {k[len("linked:"):]: v for k, v in data.items()
+                        if k.startswith("linked:")})
+        if linked_inverted:
+            lm = 1.0 - lm
+        m = m * lm
     if drawn_mode in (0, 1):
         m = apply_drawn(m)
     if use_curve:

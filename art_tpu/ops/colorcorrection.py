@@ -120,7 +120,7 @@ def plan(pp, ctx):
         abca = ss * np.sin(2 * np.pi * hh)  # v component
 
         mask = MaskSpec.from_keyfile(kf, GROUP, sfx)
-        mstatic, mdata = plan_mask(mask, (h, w))
+        mstatic, mdata = plan_mask(mask, (h, w), pp)
 
         ridx = len(regions)
         data[f"cc{ridx}"] = {

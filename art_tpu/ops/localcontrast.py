@@ -48,7 +48,7 @@ def plan(pp, ctx):
             LEVELS)
         base_gain = contrast / 100.0
         factors = 1.0 + base_gain + 4.0 * lvl
-        mstatic, mdata = plan_mask(mask, (h, w))
+        mstatic, mdata = plan_mask(mask, (h, w), pp)
         data[f"lc{ridx}"] = {
             "mask": mdata,
             "factors": factors.astype(np.float32),

@@ -37,7 +37,7 @@ def plan(pp, ctx):
     for ridx, (params, mask) in enumerate(regions):
         if params["strength"] == 0:
             continue
-        mstatic, mdata = plan_mask(mask, (h, w))
+        mstatic, mdata = plan_mask(mask, (h, w), pp)
         s = params["strength"]
         s = (s / 2.0) ** 0.3 * 2.0 if s >= 0 else s
         strength = 1.0 + s if s >= 0 else 1.0 / (1.0 - s)
