@@ -25,11 +25,10 @@ def demosaic(cfa, pattern, method="amaze", xp=None, xtrans=None, **kwargs):
         import jax.numpy as jnp
 
         return jnp.stack([cfa, cfa, cfa])
-    # legacy methods without a dedicated kernel route to the nearest
-    # modern equivalent (the reference itself retired several of these):
-    # EAHD/HPHD are homogeneity-directed like AHD; PPG's gradient
-    # grouping is closest to RCD; JDL shares IGV's lineage.
-    aliases = {"eahd": "ahd", "hphd": "ahd", "ppg": "rcd", "jdl": "igv"}
+    # ppg/jdl are dead code in the reference (demosaic_algos.cc:62,373
+    # "isn't supported anymore" — not in the BayerSensor::Method enum);
+    # route them to the nearest modern equivalent.
+    aliases = {"ppg": "rcd", "jdl": "igv"}
     method = aliases.get(method, method)
     from art_tpu.demosaic import registry
 

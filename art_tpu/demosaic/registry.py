@@ -51,3 +51,11 @@ def _populate():
         from art_tpu.demosaic import ahd  # noqa: F401
     except ImportError:
         pass
+    try:
+        from art_tpu.demosaic import eahd  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from art_tpu.demosaic import hphd  # noqa: F401
+    except ImportError:
+        pass

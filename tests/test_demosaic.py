@@ -357,3 +357,43 @@ def test_ahd_beats_bilinear_on_edges():
     b = np.asarray(demosaic(cfa, "RGGB", "bilinear"))
     sl = (slice(None), slice(8, -8), slice(8, -8))
     assert np.abs(a[sl] - rgb[sl]).mean() < np.abs(b[sl] - rgb[sl]).mean()
+
+
+@pytest.mark.parametrize("method", ["eahd", "hphd"])
+@pytest.mark.parametrize("pattern", ["RGGB", "GBRG"])
+def test_legacy_hd_reconstructs_smooth(method, pattern):
+    rgb = smooth_image()
+    cfa = mosaic_of(rgb, pattern)
+    out = np.asarray(demosaic(cfa, pattern, method))
+    err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
+    assert err.mean() < 0.004, (method, err.mean())
+
+
+@pytest.mark.parametrize("method", ["eahd", "hphd"])
+def test_legacy_hd_beats_bilinear_on_edges(method):
+    rgb = edge_image()
+    cfa = mosaic_of(rgb, "RGGB")
+    a = np.asarray(demosaic(cfa, "RGGB", method))
+    b = np.asarray(demosaic(cfa, "RGGB", "bilinear"))
+    sl = (slice(None), slice(12, -12), slice(12, -12))
+    assert np.abs(a[sl] - rgb[sl]).mean() < np.abs(b[sl] - rgb[sl]).mean()
+
+
+def test_legacy_hd_distinct_outputs():
+    """EAHD/HPHD/AHD are real distinct kernels, not aliases.
+
+    A clean step edge is degenerate (every method votes the same
+    direction), so compare on textured content where the homogeneity
+    votes and smoothing stencils actually diverge.
+    """
+    rng = np.random.default_rng(7)
+    rgb = smooth_image()
+    tex = np.clip(rgb + rng.normal(0.0, 3000.0, rgb.shape), 0,
+                  65535).astype(np.float32)
+    cfa = mosaic_of(tex, "RGGB")
+    outs = {m: np.asarray(demosaic(cfa, "RGGB", m))
+            for m in ("ahd", "eahd", "hphd")}
+    sl = (slice(None), slice(12, -12), slice(12, -12))
+    assert np.abs(outs["ahd"][sl] - outs["eahd"][sl]).max() > 100.0
+    assert np.abs(outs["ahd"][sl] - outs["hphd"][sl]).max() > 100.0
+    assert np.abs(outs["eahd"][sl] - outs["hphd"][sl]).max() > 100.0
