@@ -6,9 +6,10 @@ shrinkage of luminance and chrominance) -> optional guided chroma
 smoothing -> optional NLMeans on Y -> exposure restore.
 
 TPU formulation: the reference's overlapped-tile wavelet with per-tile MAD
-(Tile_calc, FTblockDN.cc:442) becomes a whole-plane à trous wavelet with
-global MAD statistics and energy-adaptive shrinkage; the FFTW DCT detail
-pass is folded into the luminance-detail blend. NLMeans follows
+(Tile_calc, FTblockDN.cc:442) becomes a Pallas à trous wavelet whose
+noise sigma is estimated per VMEM tile inside the kernel (bisection
+median over the halo window) with energy-adaptive shrinkage; the FFTW
+DCT detail pass runs as a matmul-DCT recovery filter (ops.dct_detail). NLMeans follows
 nlmeans.cc:50 (patch distances via box sums of squared differences; the
 integral-image trick is replaced by cumsum box filters).
 """
@@ -111,17 +112,22 @@ def _mad_sigma_crop(x):
 
 
 def _wavelet_denoise_planes(planes, strengths, blends):
-    """Denoise a list of (H, W) planes (one fused Pallas dispatch)."""
+    """Denoise a list of (H, W) planes (one fused Pallas dispatch).
+
+    The Pallas path estimates noise sigma per tile inside the kernel
+    (sentinel -1) — the reference's per-tile Mad() statistics
+    (FTblockDN.cc:442). The XLA fallback uses a global crop MAD."""
     from art_tpu.ops.wavelet_pallas import wavelet_denoise_pallas_multi
 
-    sigmas = [_mad_sigma_crop(p) for p in planes]
+    n = len(planes)
     out = wavelet_denoise_pallas_multi(
-        jnp.stack(planes), jnp.stack(sigmas),
+        jnp.stack(planes), jnp.full((n,), -1.0, jnp.float32),
         jnp.stack([jnp.asarray(s, jnp.float32) for s in strengths]),
         jnp.stack([jnp.asarray(b, jnp.float32) for b in blends]))
     if out is not None:
-        return [out[c] for c in range(len(planes))]
+        return [out[c] for c in range(n)]
 
+    sigmas = [_mad_sigma_crop(p) for p in planes]
     res = []
     for x, sigma, strength, detail_blend in zip(planes, sigmas, strengths,
                                                 blends):
@@ -192,24 +198,12 @@ def apply(rgb, data, static):
     # fused path: gamma+YUV+wavelet as one Pallas kernel (no guided/
     # NLMeans post passes that need the YUV planes on the outside)
     if nl == 0 and guided == 0 and not use_dct and rgb.ndim == 3:
-        from art_tpu.ops.wavelet_pallas import (gamma_fwd_eval,
-                                                wavelet_denoise_pallas_rgb)
+        from art_tpu.ops.wavelet_pallas import wavelet_denoise_pallas_rgb
 
-        h, w = rgb.shape[-2:]
-        cs_ = min(1024, h, w)
-        y0, x0 = (h - cs_) // 2, (w - cs_) // 2
-        crop = rgb[:, y0 : y0 + cs_, x0 : x0 + cs_] * (ec / MAXVAL)
-        cf = data["gam_fwd"]
-        xn = gamma_fwd_eval(crop, [cf[0, k] for k in range(cf.shape[1])],
-                            [cf[1, k] for k in range(cf.shape[1])])
-        yc, uc, vc = rgb_to_yuv(xn, lw)
-        from art_tpu.ops.wavelet import _B3, _sep_blur
-
-        sigmas = [mad_sigma(p - _sep_blur(p, _B3, 1))
-                  for p in (yc, uc, vc)]
+        # sigma sentinel -1: per-tile in-kernel MAD (no host prelude)
         out = wavelet_denoise_pallas_rgb(
             rgb, lw, ec, data["gam_fwd"], data["gam_inv"],
-            sigmas, strengths, blends)
+            [-1.0, -1.0, -1.0], strengths, blends)
         if out is not None:
             return out
 

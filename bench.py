@@ -14,6 +14,10 @@ import numpy as np
 
 
 def main():
+    from art_tpu.core import compilecache
+
+    compilecache.enable()  # cold compile is ~5min on the axon tunnel
+
     import jax
 
     from art_tpu.core.image import pad_to_multiple

@@ -99,6 +99,37 @@ def test_fused_rgb_kernel_matches_unfused():
     assert np.abs(fused - np.asarray(ref)).max() < 1.0  # of 65535
 
 
+def test_per_tile_mad_adapts_to_local_noise():
+    """The in-kernel sigma estimate (FTblockDN.cc Tile_calc / Mad()) is
+    per tile: with low noise on the left tile and heavy noise on the
+    right, the sentinel path denoises the right tile harder than a
+    global sigma pinned to the left tile's level."""
+    import jax.numpy as jnp
+
+    from art_tpu.ops.wavelet_pallas import (TILE_X, TILE_Y,
+                                            wavelet_denoise_pallas_multi)
+
+    rng = np.random.default_rng(5)
+    h, w = TILE_Y, 2 * TILE_X
+    x = np.full((h, w), 0.5, np.float32)
+    x[:, :TILE_X] += rng.normal(0, 0.002, (h, TILE_X))
+    x[:, TILE_X:] += rng.normal(0, 0.05, (h, TILE_X))
+    xs = jnp.asarray(x)[None]
+    strength = jnp.asarray([2.0], jnp.float32)
+    blend = jnp.asarray([0.0], jnp.float32)
+
+    adaptive = np.asarray(wavelet_denoise_pallas_multi(
+        xs, jnp.asarray([-1.0], jnp.float32), strength, blend))[0]
+    pinned_low = np.asarray(wavelet_denoise_pallas_multi(
+        xs, jnp.asarray([0.002], jnp.float32), strength, blend))[0]
+
+    right = (slice(32, -32), slice(TILE_X + 64, -64))
+    assert adaptive[right].std() < 0.5 * pinned_low[right].std()
+    # and the left tile's sigma stays calibrated to its own low noise:
+    left = (slice(32, -32), slice(64, TILE_X - 64))
+    assert adaptive[left].std() < 0.002
+
+
 def test_auto_chroma_scales_with_noise():
     """denoiseComputeParams AUTOMATIC: the estimate grows with injected
     chroma noise (ipdenoise.cc:800)."""

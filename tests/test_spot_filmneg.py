@@ -34,6 +34,36 @@ def test_spot_clones_source_over_target():
                                atol=1e-5)
 
 
+def test_spot_heal_adapts_to_gradient():
+    """GIMP-heal (ipspot.cc:154): the Laplace fill takes its levels from
+    the target's surroundings, so healing a blemish on a gradient with a
+    source from a *different* brightness region still lands on the local
+    gradient value — plain cloning would paste the source level."""
+    h, w = 128, 160
+    ramp = np.linspace(0.2, 0.8, w, dtype=np.float32)
+    rgb = np.broadcast_to(ramp, (3, h, w)).copy()
+    rgb[:, 58:70, 114:126] = 0.05  # blemish on the bright side
+    frame = synthesize_bayer(rgb, "RGGB")
+    pp = ProcParams()
+    pp.icm.working_profile = "sRGB"
+    pp.spot.enabled = True
+    # source on the dark side (value ~0.3), target on the bright (~0.65)
+    pp.spot.entries = [SpotEntry(source_x=30, source_y=64,
+                                 target_x=120, target_y=64,
+                                 radius=12, feather=0.4, opacity=1.0)]
+    out = np.asarray(develop(frame, pp))
+    pp2 = ProcParams()
+    pp2.icm.working_profile = "sRGB"
+    base = np.asarray(develop(frame, pp2))
+    # healed center matches the local (bright) surroundings, not the
+    # dark source level
+    healed = out[:, 60:68, 116:124].mean()
+    local = base[:, 40:50, 116:124].mean()  # same columns, clean rows
+    source = base[:, 60:68, 26:34].mean()
+    assert abs(healed - local) < 0.06, (healed, local)
+    assert healed > source + 0.15, (healed, source)
+
+
 def test_spot_arp_roundtrip(tmp_path):
     pp = ProcParams()
     pp.spot.enabled = True
