@@ -9,6 +9,11 @@ contrast threshold). Methods:
   radial mask.
 - "usm": gamma-3 domain unsharp mask with the 4-point threshold ramp and
   optional halo control.
+- "psf": RL deconvolution with a measured PSF kernel loaded from a JSON
+  (flat n^2 or matrix) or image file (ipsharpen.cc:347 import_kernel,
+  :523 rl_deconvolution_psf); the two convolutions per iteration (kernel
+  + flipped kernel) run as XLA ``conv_general_dilated`` and the log-domain
+  divergence stop (delta 0.3) freezes pixels like the "rld" path.
 Also used for post-resize sharpening (OutputSharpening group).
 """
 
@@ -45,9 +50,85 @@ def _plan(sp, ctx, lum_w):
             if est is not None:
                 radius = est
         static = ("rld", radius, 20)
+    elif sp.method == "psf":
+        kern = load_psf_kernel(sp.psf_kernel,
+                               scale=float(ctx.get("scale", 1.0) or 1.0))
+        if kern is None:
+            return None  # unreadable/invalid kernel: op skipped (ref errors)
+        data["psf"] = kern
+        data["amount"] = np.float32(1.0)  # psf path has no amount slider
+        static = ("psf", int(kern.shape[0]), int(max(sp.psf_iterations, 1)))
     else:
         static = ("usm", float(max(sp.radius, 0.2)), 0)
     return static, data
+
+
+def load_psf_kernel(path, scale=1.0):
+    """Load + normalize a PSF kernel (import_kernel/rescale_kernel,
+    ipsharpen.cc:347-495): JSON flat n^2 list or matrix, or a square
+    odd-sized image (green channel). Returns (k, k) float32 or None."""
+    import json
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    k = None
+    try:
+        with open(path, "rb") as f:
+            head = f.read(32)
+        if head.lstrip()[:1] == b"[":
+            obj = json.load(open(path))
+            arr = np.asarray(obj, np.float32)
+            if arr.ndim == 1:
+                n = int(round(arr.size ** 0.5))
+                if n * n != arr.size or n < 2:
+                    return None
+                k = arr.reshape(n, n)
+            elif arr.ndim == 2 and arr.shape[0] == arr.shape[1]:
+                k = arr
+        else:
+            from PIL import Image
+
+            img = np.asarray(Image.open(path).convert("RGB"), np.float32)
+            if img.shape[0] == img.shape[1] and img.shape[0] % 2 == 1:
+                k = img[:, :, 1]
+    except Exception:
+        return None
+    if k is None or k.shape[0] % 2 == 0:
+        return None
+    # rescale to the processing scale (fast-export subsampling)
+    kw = int(k.shape[0] / scale) | 1
+    if kw < 3:
+        return None
+    if kw != k.shape[0]:
+        sh = k.shape[0] // 2
+        h = kw // 2
+        s = k.shape[0] / kw
+        yy, xx = np.mgrid[-h : h + 1, -h : h + 1].astype(np.float32) * s
+        # symmetric bilinear sample (rescale_kernel's mirrored get())
+        def samp(y, x):
+            ya, xa = np.abs(y), np.abs(x)
+            yi, xi = ya.astype(int), xa.astype(int)
+            yf, xf = ya - yi, xa - xi
+            yi1 = np.minimum(yi + 1, sh)
+            xi1 = np.minimum(xi + 1, sh)
+            yi, yi1 = np.where(y < 0, -yi, yi), np.where(y < 0, -yi1, yi1)
+            xi, xi1 = np.where(x < 0, -xi, xi), np.where(x < 0, -xi1, xi1)
+            bl = k[yi + sh, xi + sh]
+            br = k[yi + sh, xi1 + sh]
+            tl = k[yi1 + sh, xi + sh]
+            tr = k[yi1 + sh, xi1 + sh]
+            return (1 - yf) * ((1 - xf) * bl + xf * br) \
+                + yf * ((1 - xf) * tl + xf * tr)
+
+        k = samp(yy, xx)
+    s = float(k.sum())
+    if s >= 1e-5:
+        k = k / s
+    else:
+        k = np.zeros_like(k)
+        k[k.shape[0] // 2, k.shape[1] // 2] = 1.0
+    return k.astype(np.float32)
 
 
 def plan(pp, ctx):
@@ -109,6 +190,43 @@ def _rl_deconv(y, blend, sigma, iterations, amount):
     return jnp.maximum(result - offset, 0.0)
 
 
+def _conv2(x, k):
+    """2-D conv with edge-replicated borders (Convolution class role)."""
+    import jax
+
+    r = k.shape[0] // 2
+    xp = jnp.pad(x, r, mode="edge")
+    return jax.lax.conv_general_dilated(
+        xp[None, None], k[None, None], (1, 1), "VALID")[0, 0]
+
+
+def _rl_deconv_psf(y, blend, kern, iterations):
+    """rl_deconvolution_psf (ipsharpen.cc:523): RL with a measured PSF.
+
+    Per-pixel stop: once |log(est) - log(lum)| exceeds 0.3 the pixel's
+    output is captured and frozen (the reference writes `out` once and
+    skips it afterwards)."""
+    kflip = kern[::-1, ::-1]  # equals kern for symmetric PSFs
+    lum = jnp.maximum(y, 0.0)
+    est = lum
+    frozen = jnp.zeros_like(y, dtype=bool)
+    captured = lum
+    delta = 0.3
+    for _ in range(iterations):
+        tmp = _conv2(est, kern)
+        tmp = jnp.where(tmp > 1e-5, lum / jnp.maximum(tmp, 1e-5), tmp)
+        tmp = _conv2(tmp, kflip)
+        est = est * tmp
+        diverged = jnp.abs(jnp.log(jnp.maximum(est, 1e-5)
+                                   / jnp.maximum(lum, 1e-5))) > delta
+        newly = diverged & ~frozen
+        val = blend * jnp.maximum(est, 0.0) + (1.0 - blend) * lum
+        captured = jnp.where(newly, val, captured)
+        frozen = frozen | diverged
+    final = blend * jnp.maximum(est, 0.0) + (1.0 - blend) * lum
+    return jnp.where(frozen, captured, final)
+
+
 def _usm(y, blend, radius, amount, thresh):
     # gamma-3 domain (ipsharpen.cc apply_gamma)
     yn = jnp.power(jnp.clip(y / MAXVAL, 0.0, 1.0), 1.0 / 3.0) * MAXVAL
@@ -127,6 +245,8 @@ def apply(rgb, data, static):
     blend = _blend_mask(y, data["contrast"], 1.0)
     if method == "rld":
         y2 = _rl_deconv(y, blend, radius, iters, data["amount"])
+    elif method == "psf":
+        y2 = _rl_deconv_psf(y, blend, data["psf"], iters)
     else:
         y2 = _usm(y, blend, radius, data["amount"], data["thresh"])
     f = jnp.where(y > 1e-5, y2 / jnp.maximum(y, 1e-5), 1.0)

@@ -537,7 +537,7 @@ class SharpeningParams(ParamGroup):
     deconv_corner_boost: float = 0.0
     deconv_corner_latitude: float = 25.0
     psf_kernel: str = ""
-    psf_iterations: int = 20
+    psf_iterations: int = 10
 
 
 @dataclass

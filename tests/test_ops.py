@@ -286,6 +286,46 @@ def test_sharpening_rld_increases_acutance():
     assert grad_out > grad_base * 1.05
 
 
+def test_sharpening_psf_kernel_deconvolves(tmp_path):
+    """Method "psf" (rl_deconvolution_psf, ipsharpen.cc:523): RL with the
+    measured kernel recovers an edge blurred by that same kernel."""
+    import json
+
+    import cv2
+
+    k = cv2.getGaussianKernel(7, 1.1)
+    kern = (k @ k.T).astype(float)
+    kf = tmp_path / "psf.json"
+    kf.write_text(json.dumps([list(map(float, row)) for row in kern]))
+
+    rgb = np.full((3, 64, 64), 0.3)
+    rgb[:, :, 32:] = 0.7
+    soft = np.stack([cv2.filter2D(c, -1, kern) for c in rgb])
+    frame = synthesize_bayer(soft)
+    pp = ProcParams()
+    pp.sharpening.enabled = True
+    pp.sharpening.method = "psf"
+    pp.sharpening.psf_kernel = str(kf)
+    pp.sharpening.psf_iterations = 10
+    pp.sharpening.contrast = 0
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+    grad_out = np.abs(np.diff(out[1, 20:44], axis=1)).max()
+    grad_base = np.abs(np.diff(base[1, 20:44], axis=1)).max()
+    assert grad_out > grad_base * 1.1
+    # flat-array JSON form loads too (import_kernel second branch)
+    from art_tpu.ops.sharpen import load_psf_kernel
+
+    kf2 = tmp_path / "psf_flat.json"
+    kf2.write_text(json.dumps([float(v) for v in kern.ravel()]))
+    k2 = load_psf_kernel(str(kf2))
+    np.testing.assert_allclose(k2, load_psf_kernel(str(kf)), atol=1e-6)
+    # invalid kernels are rejected, op skipped
+    bad = tmp_path / "bad.json"
+    bad.write_text("[1.0, 2.0, 3.0]")  # not a square
+    assert load_psf_kernel(str(bad)) is None
+
+
 def test_sharpening_usm():
     rgb = np.full((3, 64, 64), 0.3)
     rgb[:, :, 32:] = 0.7
