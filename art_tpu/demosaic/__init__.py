@@ -25,11 +25,6 @@ def demosaic(cfa, pattern, method="amaze", xp=None, xtrans=None, **kwargs):
         import jax.numpy as jnp
 
         return jnp.stack([cfa, cfa, cfa])
-    # ppg/jdl are dead code in the reference (demosaic_algos.cc:62,373
-    # "isn't supported anymore" — not in the BayerSensor::Method enum);
-    # route them to the nearest modern equivalent.
-    aliases = {"ppg": "rcd", "jdl": "igv"}
-    method = aliases.get(method, method)
     from art_tpu.demosaic import registry
 
     fn = registry.get(method)

@@ -59,3 +59,11 @@ def _populate():
         from art_tpu.demosaic import hphd  # noqa: F401
     except ImportError:
         pass
+    try:
+        from art_tpu.demosaic import ppg  # noqa: F401
+    except ImportError:
+        pass
+    try:
+        from art_tpu.demosaic import jdl  # noqa: F401
+    except ImportError:
+        pass

@@ -154,7 +154,10 @@ def test_vng4_lmmse_reconstruct_smooth(method, pattern):
     cfa = mosaic_of(rgb, pattern)
     out = np.asarray(demosaic(cfa, pattern, method))
     err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
-    assert err.mean() < 0.004, (method, err.mean())
+    # jdl's one-sided 7-tap green extrapolator (demosaic_algos.cc:403)
+    # is noisier on smooth gradients than the symmetric estimators
+    assert err.mean() < (0.008 if method == "jdl" else 0.004), (
+        method, err.mean())
     assert err.max() < 0.06, (method, err.max())
 
 
@@ -359,17 +362,20 @@ def test_ahd_beats_bilinear_on_edges():
     assert np.abs(a[sl] - rgb[sl]).mean() < np.abs(b[sl] - rgb[sl]).mean()
 
 
-@pytest.mark.parametrize("method", ["eahd", "hphd"])
+@pytest.mark.parametrize("method", ["eahd", "hphd", "ppg", "jdl"])
 @pytest.mark.parametrize("pattern", ["RGGB", "GBRG"])
 def test_legacy_hd_reconstructs_smooth(method, pattern):
     rgb = smooth_image()
     cfa = mosaic_of(rgb, pattern)
     out = np.asarray(demosaic(cfa, pattern, method))
     err = np.abs(out - rgb)[:, 12:-12, 12:-12] / 65535.0
-    assert err.mean() < 0.004, (method, err.mean())
+    # jdl's one-sided 7-tap green extrapolator (demosaic_algos.cc:403)
+    # is noisier on smooth gradients than the symmetric estimators
+    assert err.mean() < (0.008 if method == "jdl" else 0.004), (
+        method, err.mean())
 
 
-@pytest.mark.parametrize("method", ["eahd", "hphd"])
+@pytest.mark.parametrize("method", ["eahd", "hphd", "ppg", "jdl"])
 def test_legacy_hd_beats_bilinear_on_edges(method):
     rgb = edge_image()
     cfa = mosaic_of(rgb, "RGGB")
@@ -392,8 +398,9 @@ def test_legacy_hd_distinct_outputs():
                   65535).astype(np.float32)
     cfa = mosaic_of(tex, "RGGB")
     outs = {m: np.asarray(demosaic(cfa, "RGGB", m))
-            for m in ("ahd", "eahd", "hphd")}
+            for m in ("ahd", "eahd", "hphd", "ppg", "jdl", "rcd", "igv")}
     sl = (slice(None), slice(12, -12), slice(12, -12))
-    assert np.abs(outs["ahd"][sl] - outs["eahd"][sl]).max() > 100.0
-    assert np.abs(outs["ahd"][sl] - outs["hphd"][sl]).max() > 100.0
-    assert np.abs(outs["eahd"][sl] - outs["hphd"][sl]).max() > 100.0
+    import itertools
+
+    for m1, m2 in itertools.combinations(outs, 2):
+        assert np.abs(outs[m1][sl] - outs[m2][sl]).max() > 100.0, (m1, m2)
