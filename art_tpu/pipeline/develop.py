@@ -307,6 +307,22 @@ def plan(frame, pp, fast=False):
                     data["lcp_vign"] = np.asarray(
                         [x0, y0, 1.0 / fx, 1.0 / fy] + list(vm.vign_param()),
                         dtype=np.float32)
+        # metadata-embedded vignette on the raw plane
+        # (lensexif.cc processVignette :617)
+        elif lp.method == "exif" and lp.use_vign:
+            from art_tpu.lens import exifcorr
+
+            corr = exifcorr.for_frame(frame)
+            if corr is not None and corr.has_vign:
+                if corr.kind == "spline":
+                    data["exif_vign"] = np.stack(
+                        [corr.knots, corr.vig]).astype(np.float32)
+                else:
+                    cx = corr.center_v[0] * w
+                    cy = corr.center_v[1] * h
+                    m2 = 1.0 / (max(cx, w - cx) ** 2 + max(cy, h - cy) ** 2)
+                    data["exif_vign_dng"] = np.asarray(
+                        [cx, cy, m2] + list(corr.vign_radial), np.float32)
 
         # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
         hl_mode = "Off"
@@ -477,7 +493,7 @@ def plan(frame, pp, fast=False):
 
             pp = _copy.deepcopy(pp)
             pp.distortion.amount = amt
-    do_transform = frame.is_raw is not None and needs_transform(pp)
+    do_transform = frame.is_raw is not None and needs_transform(pp, frame)
     if do_transform:
         data["transform"] = plan_transform(pp, (h, w), frame=frame)
 
@@ -776,6 +792,27 @@ def _build_run(config: PipelineConfig):
                 factor = rs * (v[4] + rs * (v[5] - v[6] * rs
                                             + v[7] * rs * rs))
                 cfa = cfa * (1.0 + factor)
+            if "exif_vign" in data:
+                # spline gain on normalized radius; raw divided by sf^2
+                # (lensexif.cc:622-630)
+                v = data["exif_vign"]
+                hh2, ww2 = cfa.shape
+                w2e, h2e = ww2 * 0.5, hh2 * 0.5
+                rn = 1.0 / jnp.sqrt(w2e * w2e + h2e * h2e)
+                ydv = (jnp.arange(hh2, dtype=cfa.dtype)[:, None] - h2e) ** 2
+                xdv = (jnp.arange(ww2, dtype=cfa.dtype)[None, :] - w2e) ** 2
+                sf = jnp.interp(rn * jnp.sqrt(ydv + xdv), v[0], v[1])
+                cfa = cfa / (sf * sf)
+            if "exif_vign_dng" in data:
+                # FixVignetteRadial polynomial gain (lensexif.cc:632-644)
+                v = data["exif_vign_dng"]
+                hh2, ww2 = cfa.shape
+                ydv = (jnp.arange(hh2, dtype=cfa.dtype)[:, None] - v[1]) ** 2
+                xdv = (jnp.arange(ww2, dtype=cfa.dtype)[None, :] - v[0]) ** 2
+                r2 = v[2] * (ydv + xdv)
+                gain = 1.0 + r2 * (v[3] + r2 * (v[4] + r2 * (
+                    v[5] + r2 * (v[6] + r2 * v[7]))))
+                cfa = cfa * gain
             if config.badpix_file and config.pattern is not None:
                 from art_tpu.core.image import bayer_channel_masks
                 from art_tpu.raw.badpixels import interpolate_bad_bayer

@@ -50,7 +50,7 @@ def _sample_bicubic(img, dy, dx):
     return jnp.where(valid, acc, 0.0)
 
 
-def needs_transform(pp):
+def needs_transform(pp, frame=None):
     return (
         (pp.rotate.enabled and abs(pp.rotate.degree) > 1e-6)
         or (pp.distortion.enabled and abs(pp.distortion.amount) > 1e-6)
@@ -61,6 +61,7 @@ def needs_transform(pp):
                                         or abs(pp.perspective.angle) > 1e-6
                                         or abs(pp.perspective.shear) > 1e-6))
         or _lcp_geometry_active(pp)
+        or _exif_geometry_active(pp, frame) is not None
     )
 
 
@@ -68,6 +69,23 @@ def _lcp_geometry_active(pp):
     lp = pp.lens_prof
     return (lp.method == "lcp" and bool(lp.lcp_file)
             and (lp.use_dist or lp.use_ca))
+
+
+def _exif_geometry_active(pp, frame):
+    """ExifCorr when metadata-embedded corrections are selected and the
+    frame carries them (lensexif.cc role; method "exif",
+    procparams.cc:2295)."""
+    lp = pp.lens_prof
+    if frame is None or lp.method != "exif" or not (lp.use_dist or lp.use_ca):
+        return None
+    from art_tpu.lens.exifcorr import for_frame
+
+    corr = for_frame(frame)
+    if corr is None:
+        return None
+    if (lp.use_dist and corr.has_dist) or (lp.use_ca and corr.has_ca):
+        return corr
+    return None
 
 
 def plan_transform(pp, shape, frame=None):
@@ -117,6 +135,25 @@ def plan_transform(pp, shape, frame=None):
             chrom = prof.chromatic(focal) if lp.use_ca else None
             if chrom is not None:
                 data["lcp_ca"] = np.stack([row(m) for m in chrom])
+    corr = _exif_geometry_active(pp, frame)
+    if corr is not None:
+        lp = pp.lens_prof
+        if corr.kind == "spline":
+            if lp.use_dist and corr.dist is not None:
+                data["exifc_dist"] = np.stack(
+                    [corr.knots, corr.dist]).astype(np.float32)
+            if lp.use_ca and corr.ca is not None:
+                data["exifc_ca"] = np.stack(
+                    [np.stack([corr.knots, c]) for c in corr.ca]
+                ).astype(np.float32)
+        elif lp.use_dist and corr.warp is not None:
+            # DNG WarpRectilinear: absolute center + corner normalizer
+            # (lensexif.cc:492-506)
+            cx = corr.center_d[0] * w
+            cy = corr.center_d[1] * h
+            m = np.hypot(max(cx, w - cx), max(cy, h - cy))
+            data["exif_dng_warp"] = np.asarray(
+                [cx, cy, m] + list(corr.warp), np.float32)
     return data
 
 
@@ -207,12 +244,51 @@ def apply_transform(rgb, data, method="bicubic"):
         dy = dyc * sc + h2
         if "lcp_dist" in data or "lcp_ca" in data:
             dx, dy = _lcp_map(dx, dy, ci, data)
+        if ("exifc_dist" in data or "exifc_ca" in data
+                or "exif_dng_warp" in data):
+            dx, dy = _exif_map(dx, dy, ci, data, h, w)
         if method == "bicubic":
             out.append(_sample_bicubic(rgb[ci], dy, dx))
         else:
             out.append(map_coordinates(rgb[ci], [dy, dx], order=1,
                                        mode="constant", cval=0.0))
     return jnp.stack(out)
+
+
+def _exif_map(dx, dy, ci, data, h, w):
+    """Metadata-embedded lens corrections on absolute pixel coordinates
+    (lensexif.cc correctDistortion :524 / correctCA :600)."""
+    w2e = w * 0.5
+    h2e = h * 0.5
+    rnorm = 1.0 / np.hypot(w2e, h2e)
+
+    def radial(x, y, series):
+        ccx = x - w2e
+        ccy = y - h2e
+        r = rnorm * jnp.sqrt(ccx * ccx + ccy * ccy)
+        dr = jnp.interp(r, series[0], series[1])
+        return dr * ccx + w2e, dr * ccy + h2e
+
+    if "exifc_dist" in data:
+        dx, dy = radial(dx, dy, data["exifc_dist"])
+    if "exifc_ca" in data and ci != 1:
+        dx, dy = radial(dx, dy, data["exifc_ca"][ci])
+    if "exif_dng_warp" in data:
+        p = data["exif_dng_warp"]
+        cx1, cy1, m = p[0], p[1], p[2]
+        xd = (dx - cx1) / m
+        yd = (dy - cy1) / m
+        xd2 = xd * xd
+        yd2 = yd * yd
+        r2 = xd2 + yd2
+        f = p[3] + r2 * (p[4] + r2 * (p[5] + r2 * p[6]))
+        dxdy2 = 2.0 * xd * yd
+        # dy_t keeps the reference's (r2 + 2*dx2) term (lensexif.cc:571)
+        x_t = p[7] * dxdy2 + p[8] * (r2 + 2.0 * xd2)
+        y_t = p[8] * dxdy2 + p[7] * (r2 + 2.0 * xd2)
+        dx = cx1 + m * (f * xd + x_t)
+        dy = cy1 + m * (f * yd + y_t)
+    return dx, dy
 
 
 def _lcp_model_fwd(xd, yd, p, with_scale=False):

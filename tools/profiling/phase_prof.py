@@ -1,6 +1,10 @@
 """Per-phase 24MP timings for the bench config (run on the real chip)."""
 import time
 
+from art_tpu.core import compilecache
+
+compilecache.enable()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
