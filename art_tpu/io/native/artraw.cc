@@ -2065,6 +2065,577 @@ static uint16_t* decode_raf(const uint8_t* buf, size_t len,
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// Canon CR3 (reference decode boundary: rtengine/canon_cr3_decoder.cc,
+// itself LibRaw's CRX decoder). Fresh implementation of the published
+// CRX bitstream model: ISO-BMFF container with CRAW tracks; per tile /
+// per Bayer-subplane subbands coded with an adaptive Rice-Golomb
+// residual stream over a median (LOCO-I-style) predictor plus
+// zero-run-length coding. Scope: the lossless profile (imageLevels 0,
+// encType 0, 4 planes); craw (wavelet levels) routes to the
+// preconverter hook.
+// ---------------------------------------------------------------------------
+
+// MSB-first bit reader over a memory span; reads past the end yield 0.
+struct CrxBits {
+    const uint8_t* p;
+    size_t n;
+    size_t byte = 0;
+    int bit = 0;
+    inline int get1() {
+        if (byte >= n) return 0;
+        int v = (p[byte] >> (7 - bit)) & 1;
+        if (++bit == 8) { bit = 0; ++byte; }
+        return v;
+    }
+    inline uint32_t bits(int k) {
+        uint32_t v = 0;
+        while (k--) v = (v << 1) | get1();
+        return v;
+    }
+    // count zeros up to the terminating 1 (consumed)
+    inline uint32_t zeros() {
+        uint32_t z = 0;
+        while (byte < n && !get1()) ++z;
+        return z;
+    }
+    inline bool eof() const { return byte >= n; }
+};
+
+// adaptive Rice parameter update (canon_cr3_decoder.cc:910
+// crxPredictKParameter)
+static inline int crx_predict_k(int prevK, uint32_t bitCode, int maxVal) {
+    int newK = prevK - (bitCode < (uint32_t)(1 << prevK >> 1))
+             + ((bitCode >> prevK) > 2) + ((bitCode >> prevK) > 5);
+    return (!maxVal || newK < maxVal) ? newK : maxVal;
+}
+
+// run-length adaptation tables (:784): JS = run chunk per sParam,
+// J = extra raw bits when a run ends mid-chunk
+static const uint32_t kCrxJS[32] = {
+    1, 1, 1, 1, 2, 2, 2, 2, 4, 4, 4, 4, 8, 8, 8, 8,
+    0x10, 0x10, 0x20, 0x20, 0x40, 0x40, 0x80, 0x80,
+    0x100, 0x200, 0x400, 0x800, 0x1000, 0x2000, 0x4000, 0x8000};
+static const uint32_t kCrxJ[32] = {
+    0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3,
+    4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+struct CrxBandState {
+    CrxBits br;
+    int kParam = 0;
+    int sParam = 0;
+};
+
+// one Golomb residual: unary prefix (escape 41 -> 21 raw bits) +
+// kParam raw bits (crxDecodeSymbolL1's code read)
+static inline uint32_t crx_code(CrxBandState& st) {
+    uint32_t bitCode = st.br.zeros();
+    if (bitCode >= 41)
+        bitCode = st.br.bits(21);
+    else if (st.kParam)
+        bitCode = st.br.bits(st.kParam) | (bitCode << st.kParam);
+    return bitCode;
+}
+
+// run length via the adaptive JS/J ladder (crxDecodeLine run branch).
+// Returns the run count, <= maxLen; advances sParam.
+static inline int crx_run_length(CrxBandState& st, int maxLen, bool* err) {
+    int nSyms = 1;
+    while (st.br.get1()) {
+        nSyms += (int)kCrxJS[st.sParam];
+        if (nSyms > maxLen) { nSyms = maxLen; break; }
+        if (st.sParam < 31) ++st.sParam;
+        if (nSyms == maxLen) break;
+    }
+    if (nSyms < maxLen) {
+        if (kCrxJ[st.sParam])
+            nSyms += st.br.bits((int)kCrxJ[st.sParam]);
+        if (st.sParam > 0) --st.sParam;
+        if (nSyms > maxLen) *err = true;
+    }
+    return nSyms;
+}
+
+// top line of a subband (crxDecodeTopLine): no previous line, runs of
+// zeros + residuals against the previous pixel
+static bool crx_decode_top_line(CrxBandState& st, int32_t* line1, int width) {
+    line1[0] = 0;
+    int length = width;
+    int pos = 1;  // writing line1[pos]
+    for (; length > 1; --length) {
+        if (line1[pos - 1]) {
+            line1[pos] = line1[pos - 1];
+        } else {
+            if (st.br.get1()) {
+                bool err = false;
+                int nSyms = crx_run_length(st, length, &err);
+                if (err) return false;
+                length -= nSyms;
+                while (nSyms-- > 0) {
+                    line1[pos] = line1[pos - 1];
+                    ++pos;
+                }
+                if (length <= 0) break;
+            }
+            line1[pos] = 0;
+        }
+        uint32_t bitCode = crx_code(st);
+        line1[pos] += -(int32_t)(bitCode & 1) ^ (int32_t)(bitCode >> 1);
+        st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        ++pos;
+    }
+    if (length == 1) {
+        line1[pos] = line1[pos - 1];
+        uint32_t bitCode = crx_code(st);
+        line1[pos] += -(int32_t)(bitCode & 1) ^ (int32_t)(bitCode >> 1);
+        st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        ++pos;
+    }
+    line1[pos] = line1[pos - 1] + 1;  // right guard for the next line
+    return true;
+}
+
+// interior line (crxDecodeLine + crxDecodeSymbolL1): median predictor
+// with zero-run coding when the (left, top, top-right) context repeats
+static bool crx_decode_line(CrxBandState& st, const int32_t* line0,
+                            int32_t* line1, int width) {
+    line1[0] = line0[1];
+    int length = width;
+    int p0 = 0;  // index into line0 (reference's lineBuf0 pointer)
+    int p1 = 1;  // next write position in line1
+
+    auto symbol = [&](int doMedian, int notEOL) {
+        if (doMedian) {
+            int32_t delta = line0[p0 + 1] - line0[p0];
+            int32_t top = line0[p0 + 1];
+            int32_t left = line1[p1 - 1];
+            int32_t symb[4] = {delta + left, delta + left, left, top};
+            line1[p1] = symb[(((line0[p0] < left) ^ (delta < 0)) << 1)
+                             + ((left < top) ^ (delta < 0))];
+        } else {
+            line1[p1] = line0[p0 + 1];
+        }
+        uint32_t bitCode = crx_code(st);
+        line1[p1] += -(int32_t)(bitCode & 1) ^ (int32_t)(bitCode >> 1);
+        if (notEOL) {
+            int32_t nextDelta = (line0[p0 + 2] - line0[p0 + 1]) << 1;
+            bitCode = (bitCode + (uint32_t)(nextDelta < 0 ? -nextDelta
+                                                          : nextDelta)) >> 1;
+            ++p0;
+        }
+        st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        ++p1;
+    };
+
+    for (; length > 1; --length) {
+        if (line1[p1 - 1] != line0[p0 + 1] || line1[p1 - 1] != line0[p0 + 2]) {
+            symbol(1, 1);
+        } else {
+            if (st.br.get1()) {
+                bool err = false;
+                int nSyms = crx_run_length(st, length, &err);
+                if (err) return false;
+                length -= nSyms;
+                p0 += nSyms;
+                while (nSyms-- > 0) {
+                    line1[p1] = line1[p1 - 1];
+                    ++p1;
+                }
+            }
+            if (length > 0) symbol(0, length > 1);
+        }
+    }
+    if (length == 1) symbol(1, 0);
+    line1[p1] = line1[p1 - 1] + 1;
+    return true;
+}
+
+// one subband (LL-only, lossless) of one tile decoded into the output
+// mosaic subplane (crxDecodePlane levels==0 branch + crxConvertPlaneLine
+// nPlanes==4 path)
+static bool crx_decode_tile_plane(const uint8_t* data, size_t dataSize,
+                                  int tw, int th, int nBits, uint16_t* out,
+                                  size_t outStride, size_t outStep) {
+    CrxBandState st;
+    st.br = CrxBits{data, dataSize};
+    std::vector<int32_t> bufs(2 * (tw + 2), 0);
+    int32_t* lineA = bufs.data();
+    int32_t* lineB = bufs.data() + (tw + 2);
+    const int32_t median = 1 << (nBits - 1);
+    const int32_t maxVal = (1 << nBits) - 1;
+    for (int row = 0; row < th; ++row) {
+        int32_t* l0 = (row & 1) ? lineB : lineA;
+        int32_t* l1 = (row & 1) ? lineA : lineB;
+        if (row == 0) {
+            st.sParam = 0;
+            st.kParam = 0;
+            if (!crx_decode_top_line(st, lineB, tw)) return false;
+            l1 = lineB;
+        } else {
+            if (!crx_decode_line(st, l0, l1, tw)) return false;
+        }
+        uint16_t* dst = out + (size_t)row * outStride;
+        for (int i = 0; i < tw; ++i) {
+            int32_t v = median + l1[1 + i];
+            if (v < 0) v = 0;
+            if (v > maxVal) v = maxVal;
+            dst[(size_t)i * outStep] = (uint16_t)v;
+        }
+    }
+    return true;
+}
+
+struct Cr3Track {
+    int type = 0;        // hdlr: 2=vide, 4=meta
+    int mediaType = 0;   // 1=RAW (CMP1 parsed ok), 2=JPEG
+    uint64_t mediaOffset = 0;
+    uint64_t mediaSize = 0;
+    std::string format;  // stsd format id
+    // CMP1 header fields (crxParseImageHeader)
+    int version = 0, f_width = 0, f_height = 0, tileWidth = 0,
+        tileHeight = 0, nBits = 0, nPlanes = 0, cfaLayout = 0,
+        encType = 0, imageLevels = 0, mdatHdrSize = 0;
+};
+
+static uint32_t be32(const uint8_t* p) {
+    return ((uint32_t)p[0] << 24) | ((uint32_t)p[1] << 16)
+         | ((uint32_t)p[2] << 8) | p[3];
+}
+static uint16_t be16(const uint8_t* p) {
+    return (uint16_t)((p[0] << 8) | p[1]);
+}
+
+// recursive ISO-BMFF walk (parseCR3's atom list, without the
+// dcraw-global state)
+static void cr3_walk(const uint8_t* buf, size_t len, uint64_t off,
+                     uint64_t end, const std::string& path,
+                     std::vector<Cr3Track>& tracks, int& curTrack,
+                     std::vector<std::pair<uint64_t, uint64_t>>& cmt,
+                     int depth) {
+    static const char* containers[] = {
+        "moov", "trak", "mdia", "minf", "stbl", "dinf", "edts", "stsd",
+        "CRAW", "CCTP"};
+    if (depth > 16) return;
+    while (off + 8 <= end) {
+        uint64_t sz = be32(buf + off);
+        char name[5] = {0};
+        memcpy(name, buf + off + 4, 4);
+        uint64_t content = off + 8;
+        if (sz == 1 && off + 16 <= end) {
+            sz = ((uint64_t)be32(buf + off + 8) << 32) | be32(buf + off + 12);
+            content = off + 16;
+        } else if (sz == 0) {
+            sz = end - off;
+        }
+        if (sz < 8 || off + sz > end) return;
+        uint64_t cend = off + sz;
+        std::string p2 = path + name;
+
+        if (strcmp(name, "trak") == 0) {
+            tracks.push_back(Cr3Track());
+            curTrack = (int)tracks.size() - 1;
+        }
+        bool recurse = false;
+        uint64_t skip = 0;
+        for (const char* c : containers)
+            if (strcmp(name, c) == 0) { recurse = true; break; }
+        if (p2 == "moovuuid") {
+            static const uint8_t kCanonUuid[16] = {
+                0x85, 0xc0, 0xb6, 0x87, 0x82, 0x0f, 0x11, 0xe0,
+                0x81, 0x11, 0xf4, 0xce, 0x46, 0x2b, 0x6a, 0x48};
+            if (content + 16 <= cend
+                    && memcmp(buf + content, kCanonUuid, 16) == 0) {
+                recurse = true;
+                skip = 16;
+            }
+        } else if (p2.size() >= 8
+                   && p2.compare(p2.size() - 8, 8, "uuidCMT1") == 0) {
+            cmt.push_back({content, cend - content});  // IFD0 TIFF
+        } else if (p2.size() >= 8
+                   && p2.compare(p2.size() - 8, 8, "uuidCMT2") == 0) {
+            cmt.push_back({content, cend - content});  // EXIF TIFF
+        } else if (p2.size() >= 8
+                   && p2.compare(p2.size() - 8, 8, "uuidCMT3") == 0) {
+            cmt.push_back({content, cend - content});  // makernote TIFF
+        } else if (strcmp(name, "hdlr") == 0 && curTrack >= 0
+                   && content + 12 <= cend) {
+            const uint8_t* h = buf + content + 8;
+            if (memcmp(h, "vide", 4) == 0) tracks[curTrack].type = 2;
+            else if (memcmp(h, "meta", 4) == 0) tracks[curTrack].type = 4;
+        } else if (strcmp(name, "stsd") == 0 && curTrack >= 0
+                   && content + 16 <= cend) {
+            // version/flags + entry count, then the first sample entry
+            char fmt[5] = {0};
+            memcpy(fmt, buf + content + 12, 4);
+            tracks[curTrack].format = fmt;
+            skip = 8;  // stsd header before the sample entries
+        } else if (strcmp(name, "CRAW") == 0) {
+            skip = 82;  // CRAW sample-entry fields before child boxes
+        } else if (strcmp(name, "CMP1") == 0 && curTrack >= 0
+                   && content + 36 <= cend) {
+            // 36-byte header blob; first 4 bytes are box flags
+            // (crxParseImageHeader offsets are relative to the blob)
+            const uint8_t* t = buf + content;
+            Cr3Track& tk = tracks[curTrack];
+            tk.version = be16(t + 4);
+            tk.f_width = (int)be32(t + 8);
+            tk.f_height = (int)be32(t + 12);
+            tk.tileWidth = (int)be32(t + 16);
+            tk.tileHeight = (int)be32(t + 20);
+            tk.nBits = t[24];
+            tk.nPlanes = t[25] >> 4;
+            tk.cfaLayout = t[25] & 0xF;
+            tk.encType = t[26] >> 4;
+            tk.imageLevels = t[26] & 0xF;
+            tk.mdatHdrSize = (int)be32(t + 28);
+            bool ok = (tk.version == 0x100 || tk.version == 0x200)
+                      && tk.mdatHdrSize > 0 && tk.f_width > 0
+                      && tk.f_height > 0 && tk.tileWidth > 0
+                      && tk.tileHeight > 0;
+            if (ok) tk.mediaType = 1;
+        } else if (strcmp(name, "JPEG") == 0 && curTrack >= 0) {
+            tracks[curTrack].mediaType = 2;
+        } else if (strcmp(name, "stsz") == 0 && curTrack >= 0) {
+            uint64_t csz = cend - content;
+            if (csz == 12)
+                tracks[curTrack].mediaSize = be32(buf + content + 4);
+            else if (csz >= 16)
+                tracks[curTrack].mediaSize = be32(buf + content + 12);
+        } else if (strcmp(name, "co64") == 0 && curTrack >= 0
+                   && cend - content >= 16) {
+            tracks[curTrack].mediaOffset =
+                ((uint64_t)be32(buf + content + 8) << 32)
+                | be32(buf + content + 12);
+        } else if (strcmp(name, "stco") == 0 && curTrack >= 0
+                   && cend - content >= 12) {
+            tracks[curTrack].mediaOffset = be32(buf + content + 8);
+        }
+
+        if (recurse)
+            cr3_walk(buf, len, content + skip, cend, p2, tracks, curTrack,
+                     cmt, depth + 1);
+        off = cend;
+    }
+}
+
+// Canon ColorData as-shot WB word offset by blob length (the CR2 table
+// extended with the CR3-era ColorData generations)
+static int canon_colordata_wb_off(uint32_t count) {
+    switch (count) {
+        case 582: return 25;
+        case 653: return 34;
+        case 1273: case 1275: return 71;
+        case 1312: case 1313: case 1316: return 63;
+        case 1560: return 63;
+        case 1820: case 1869: return 71;
+        case 2024: case 3656: return 85;
+        default: return 63;
+    }
+}
+
+static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
+                            ArtRawMeta* meta) {
+    const bool dbg = getenv("ARTRAW_DEBUG") != nullptr;
+    std::vector<Cr3Track> tracks;
+    std::vector<std::pair<uint64_t, uint64_t>> cmt;
+    int curTrack = -1;
+    cr3_walk(buf, len, 0, len, "", tracks, curTrack, cmt, 0);
+    if (dbg) {
+        fprintf(stderr, "cr3: %zu tracks, %zu cmt\n", tracks.size(),
+                cmt.size());
+        for (auto& t : tracks)
+            fprintf(stderr,
+                    "  track type=%d media=%d off=%llu size=%llu fmt=%s "
+                    "w=%d h=%d bits=%d planes=%d enc=%d lvl=%d hdr=%d\n",
+                    t.type, t.mediaType, (unsigned long long)t.mediaOffset,
+                    (unsigned long long)t.mediaSize, t.format.c_str(),
+                    t.f_width, t.f_height, t.nBits, t.nPlanes, t.encType,
+                    t.imageLevels, t.mdatHdrSize);
+    }
+
+    // biggest RAW track (selectCRXTrack)
+    const Cr3Track* best = nullptr;
+    int64_t bestBits = 0;
+    for (auto& t : tracks) {
+        if (t.mediaType == 1 && t.mediaSize && t.mediaOffset) {
+            int64_t bits = (int64_t)t.nBits * t.f_width * t.f_height;
+            if (bits > bestBits) { bestBits = bits; best = &t; }
+        }
+    }
+    if (!best) return nullptr;
+    // scope: lossless profile only (craw needs the wavelet path)
+    if (best->imageLevels != 0 || best->encType != 0 || best->nPlanes != 4
+            || best->nBits < 9 || best->nBits > 15)
+        return nullptr;
+    if (best->mediaOffset + best->mediaSize > len) return nullptr;
+
+    // subplane geometry (crxLoadRaw halves plane dims for nPlanes 4)
+    int fullW = best->f_width, fullH = best->f_height;
+    int pw = fullW >> 1, ph = fullH >> 1;
+    int tw = best->tileWidth >> 1, thh = best->tileHeight >> 1;
+    int tileCols = (pw + tw - 1) / tw;
+    int tileRows = (ph + thh - 1) / thh;
+
+    const uint8_t* mdat = buf + best->mediaOffset;
+    int hdrSize = best->mdatHdrSize;
+    if ((size_t)hdrSize > best->mediaSize) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)fullW * fullH,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+
+    // output subplane bases per cfaLayout (crxSetupImageData)
+    size_t rowSize = (size_t)fullW;
+    size_t base[4];
+    switch (best->cfaLayout) {
+        case 1:  // G R / B G
+            base[1] = 0; base[0] = 1; base[3] = rowSize;
+            base[2] = rowSize + 1; break;
+        case 2:  // G B / R G
+            base[2] = 0; base[3] = 1; base[0] = rowSize;
+            base[1] = rowSize + 1; break;
+        case 3:  // B G / G R
+            base[3] = 0; base[2] = 1; base[1] = rowSize;
+            base[0] = rowSize + 1; break;
+        default:  // 0: R G / G B
+            base[0] = 0; base[1] = 1; base[2] = rowSize;
+            base[3] = rowSize + 1; break;
+    }
+
+    // walk the mdat header: FF01 tile + per plane FF02 + subband FF03
+    const uint8_t* hp = mdat;
+    int hleft = hdrSize;
+    uint64_t tileOffset = 0;
+    bool ok = true;
+    for (int t = 0; t < tileRows * tileCols && ok; ++t) {
+        if (hleft < 12) { ok = false; break; }
+        int sign = be16(hp), hsz = be16(hp + 2);
+        if ((sign != 0xFF01 && sign != 0xFF11)
+                || (hsz != 8 && hsz != 16)) { ok = false; break; }
+        uint32_t tileSize = be32(hp + 4);
+        uint32_t qpSize = 0, extraSize = 0;
+        if (hsz == 16) {
+            qpSize = be32(hp + 12);
+            extraSize = be16(hp + 16);
+        }
+        hp += hsz + 4;
+        hleft -= hsz + 4;
+
+        int tRow = t / tileCols, tCol = t % tileCols;
+        int thisW = (tCol == tileCols - 1) ? pw - tw * (tileCols - 1) : tw;
+        int thisH = (tRow == tileRows - 1) ? ph - thh * (tileRows - 1) : thh;
+
+        uint64_t compOffset = 0;
+        for (int c = 0; c < 4 && ok; ++c) {
+            if (hleft < 12) { ok = false; break; }
+            sign = be16(hp); hsz = be16(hp + 2);
+            if ((sign != 0xFF02 && sign != 0xFF12) || hsz != 8) {
+                ok = false; break;
+            }
+            uint32_t compSize = be32(hp + 4);
+            hp += 12;
+            hleft -= 12;
+            // single FF03 subband header (levels==0 -> one subband)
+            if (hleft < 12) { ok = false; break; }
+            sign = be16(hp); hsz = be16(hp + 2);
+            if (sign != 0xFF03 || hsz != 8) { ok = false; break; }
+            uint32_t subbandSize = be32(hp + 4);
+            uint32_t bitData = be32(hp + 8);
+            uint32_t dataSize = subbandSize - (bitData & 0x7FFFF);
+            hp += 12;
+            hleft -= 12;
+
+            uint64_t dataOff = best->mediaOffset + hdrSize + tileOffset
+                               + qpSize + extraSize + compOffset;
+            if (dataOff + dataSize > len) { ok = false; break; }
+            uint16_t* dst = out + base[c]
+                + 2 * rowSize * (size_t)(tRow * (size_t)thh)
+                + 2 * (size_t)(tCol * (size_t)tw);
+            if (dataSize == 0) {
+                // empty band: zeros (median value after conversion)
+                for (int y = 0; y < thisH; ++y)
+                    for (int x = 0; x < thisW; ++x)
+                        dst[2 * rowSize * y + 2 * (size_t)x] =
+                            (uint16_t)(1 << (best->nBits - 1));
+            } else if (!crx_decode_tile_plane(
+                           buf + dataOff, dataSize, thisW, thisH,
+                           best->nBits, dst, 2 * rowSize, 2)) {
+                ok = false;
+            }
+            compOffset += compSize;
+        }
+        tileOffset += tileSize;
+    }
+    if (!ok) {
+        if (dbg) fprintf(stderr, "cr3: tile decode failed\n");
+        free(out);
+        return nullptr;
+    }
+
+    // ---- metadata ----
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = fullW;
+    meta->height = fullH;
+    static const int kLayouts[4][4] = {
+        {0, 1, 1, 2}, {1, 0, 2, 1}, {1, 2, 0, 1}, {2, 1, 1, 0}};
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] = kLayouts[best->cfaLayout & 3][i];
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    double wmax = (1 << best->nBits) - 1;
+    for (int i = 0; i < 4; ++i) meta->white[i] = wmax;
+    meta->iso = 100.0;
+    meta->orientation = 1;
+    strncpy(meta->make, "Canon", 63);
+
+    // CMT boxes: CMT1 = IFD0 (make/model), CMT2 = EXIF (iso),
+    // CMT3 = makernote (SensorInfo crop + ColorData WB)
+    for (auto& c : cmt) {
+        if (c.first + 8 > len) continue;
+        Reader cr{buf + c.first, (size_t)c.second,
+                  buf[c.first] == 'I'};
+        if (cr.u16(2) != 42) continue;
+        IFD ifd;
+        std::vector<uint32_t> subs;
+        parse_ifd(cr, cr.u32(4), ifd, subs, 0);
+        const TagValue* mk = ifd.find(271);
+        if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+        const TagValue* md = ifd.find(272);
+        if (md) strncpy(meta->model, md->str.c_str(), 63);
+        const TagValue* ori = ifd.find(274);
+        if (ori && !ori->nums.empty())
+            meta->orientation = (int)ori->nums[0];
+        const TagValue* iso = ifd.find(34855);
+        if (iso && !iso->nums.empty()) meta->iso = iso->nums[0];
+        const TagValue* si = ifd.find(0x00E0);  // SensorInfo (CMT3)
+        if (si && si->nums.size() >= 9) {
+            int a_left = (int)si->nums[5], a_top = (int)si->nums[6];
+            int a_right = (int)si->nums[7], a_bot = (int)si->nums[8];
+            if (a_left >= 0 && a_top >= 0 && a_right > a_left
+                    && a_bot > a_top && a_right < fullW && a_bot < fullH) {
+                meta->active_area[0] = a_top;
+                meta->active_area[1] = a_left;
+                meta->active_area[2] = a_bot + 1;
+                meta->active_area[3] = a_right + 1;
+            }
+        }
+        const TagValue* cd = ifd.find(0x4001);  // ColorData (CMT3)
+        if (cd && cd->off && cd->count > 100) {
+            int woff = canon_colordata_wb_off(cd->count);
+            double wb[4];
+            for (int i = 0; i < 4; ++i)
+                wb[i] = cr.u16(cd->off + 2 * (size_t)(woff + i));
+            if (wb[0] > 0 && wb[1] > 0 && wb[3] > 0) {
+                meta->as_shot_neutral[0] = wb[1] / wb[0];
+                meta->as_shot_neutral[1] = 1.0;
+                meta->as_shot_neutral[2] = wb[1] / wb[3];
+            }
+        }
+    }
+    return out;
+}
+
 uint16_t* artraw_decode(const uint8_t* buf, size_t len, ArtRawMeta* meta);
 
 uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
@@ -2072,6 +2643,10 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     if (len < 8) return nullptr;
     if (len > 16 && memcmp(buf, "FUJIFILMCCD-RAW", 15) == 0)
         return decode_raf(buf, len, meta);
+    if (len > 24 && memcmp(buf + 4, "ftyp", 4) == 0
+            && (memcmp(buf + 8, "crx ", 4) == 0
+                || memcmp(buf + 8, "crx\0", 4) == 0))
+        return decode_cr3(buf, len, meta);
     Reader r{buf, len, true};
     if (buf[0] == 'I' && buf[1] == 'I')
         r.little = true;
