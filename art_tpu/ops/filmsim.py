@@ -40,6 +40,35 @@ def _plan_common(pp, ctx, want_after):
     if bool(fs.after_tone_curve) != want_after:
         return None
     key = (fs.clut_filename, fs.clut_params)
+    if fs.clut_filename.lower().endswith(".ctl"):
+        # CTL script: bake to a LUT over the PQ shaper domain
+        # (clutstore.cc getCTLLut/CTL_init_lut/CTL_apply)
+        if key not in _lut_cache:
+            try:
+                from art_tpu.color.ctl import bake_lut, load_ctl
+
+                script = load_ctl(fs.clut_filename)
+                vals = _parse_lut_params(fs.clut_params)
+                _lut_cache[key] = (bake_lut(script, vals),
+                                   script.colorspace)
+            except Exception:
+                _lut_cache[key] = None
+        entry = _lut_cache[key]
+        if entry is None:
+            return None
+        table, space = entry
+        work = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]]
+        if space and space in cs.MATRICES_XYZ_TO_RGB:
+            conv = cs.MATRICES_XYZ_TO_RGB[space] @ work
+        else:
+            conv = np.eye(3)
+        data = {
+            "table": np.asarray(table, np.float32),
+            "to_clut": conv.astype(np.float32),
+            "to_work": np.linalg.inv(conv).astype(np.float32),
+            "strength": np.float32(np.clip(fs.strength / 100.0, 0.0, 1.0)),
+        }
+        return ("ctl", False), data
     if key not in _lut_cache:
         try:
             if fs.clut_filename.lower().endswith(".json"):
@@ -65,7 +94,7 @@ def _plan_common(pp, ctx, want_after):
         "strength": np.float32(np.clip(fs.strength / 100.0, 0.0, 1.0)),
     }
     same = ctx["working_profile"] == "sRGB"
-    return (same,), data
+    return ("hald", same), data
 
 
 def plan(pp, ctx):
@@ -87,7 +116,21 @@ def _mat3(m, rgb):
 
 
 def apply(rgb, data, static):
-    (same,) = static
+    mode, same = static
+    if mode == "ctl":
+        # CTL_apply (clutstore.cc:1662): conv to the script space, PQ
+        # shaper encode, tetrahedral LUT of ART_main outputs, conv back;
+        # strength blends in working space
+        from art_tpu.color.ctl import ctl_shaper
+
+        x = rgb / MAXVAL
+        x = _mat3(data["to_clut"], x)
+        enc = ctl_shaper(x)
+        r2, g2, b2 = apply_tetrahedral(enc[0], enc[1], enc[2],
+                                       data["table"])
+        out = _mat3(data["to_work"], jnp.stack([r2, g2, b2])) * MAXVAL
+        s = data["strength"]
+        return out * s + rgb * (1.0 - s)
     x = rgb / MAXVAL
     if not same:
         x = _mat3(data["to_clut"], x)
