@@ -44,12 +44,27 @@ def plan(pp, ctx):
     return (), data
 
 
-def _median3(x):
-    p = jnp.pad(x, 1, mode="edge")
+# median stencils by image size (Median_Denoise call,
+# tmo_fattal02.cc:1104-1116: r = max(w,h)/1920 picks 3x3 strong /
+# 5x5 soft (13-pt diamond) / 5x5 strong / 7x7)
+_MED_3X3 = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+_MED_5X5_SOFT = [(-2, 0), (-1, -1), (-1, 0), (-1, 1), (0, -2), (0, -1),
+                 (0, 0), (0, 1), (0, 2), (1, -1), (1, 0), (1, 1), (2, 0)]
+_MED_5X5 = [(dy, dx) for dy in range(-2, 3) for dx in range(-2, 3)]
+_MED_7X7 = [(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
+
+
+def _median_pts(x, pts):
+    r = max(max(abs(dy), abs(dx)) for dy, dx in pts)
+    p = jnp.pad(x, r, mode="edge")
     h, w = x.shape
-    vals = jnp.stack([p[dy : dy + h, dx : dx + w]
-                      for dy in range(3) for dx in range(3)])
+    vals = jnp.stack([p[r + dy : r + dy + h, r + dx : r + dx + w]
+                      for dy, dx in pts])
     return jnp.median(vals, axis=0)
+
+
+def _median3(x):
+    return _median_pts(x, _MED_3X3)
 
 
 def _blur5(x):
@@ -95,8 +110,13 @@ def apply(rgb, data, static):
     h, w = rgb.shape[1:]
     y = jnp.maximum(lw[0] * rgb[0] + lw[1] * rgb[1] + lw[2] * rgb[2], 1.0)
 
-    # median prefilter on deep shadows (luminance_noise_floor = 65.535)
-    y = jnp.where(y < 65.535, _median3(y), y)
+    # median prefilter on deep shadows (luminance_noise_floor = 65.535);
+    # the stencil grows with image size (tmo_fattal02.cc:1104-1116)
+    r_cap = max(h, w) / float(DIM_CAP)
+    pts = (_MED_7X7 if r_cap >= 3 else
+           _MED_5X5 if r_cap >= 2 else
+           _MED_5X5_SOFT if r_cap >= 1 else _MED_3X3)
+    y = jnp.where(y < 65.535, _median_pts(y, pts), y)
 
     hh = jnp.log(y + 1e-4)
 

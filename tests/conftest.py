@@ -19,9 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: no persistent compile cache here — the zstandard-compressed cache
-# write segfaults on large executables with this jaxlib (observed in
-# put_executable_and_time via zstandard.backend_c)
+
+# Persistent compile cache: the suite is compile-dominated (most heavy
+# tests rebuild the same develop programs). compilecache.enable() nulls
+# the zstandard handle first — the zstd-compressed write segfaults on
+# large executables with this jaxlib; the zlib fallback is safe.
+from art_tpu.core import compilecache  # noqa: E402
+
+compilecache.enable(os.path.expanduser("~/.cache/jax_artcache_tests"),
+                    min_compile_secs=0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
