@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 from art_tpu.core.image import BAYER_PATTERNS
 from art_tpu.demosaic.amaze import _stages_1to4, _stages_5to6, _stages_7to8
 
-TILE_Y = 512  # rectangular tiles: wide cols cut the halo compute overhead
+TILE_Y = 256  # rectangular tiles: wide cols cut the halo compute overhead
 TILE_X = 2048
 HALO_Y = 16  # row stencil halo (max stage reach is ~13, rounded to 16)
 HALO_X = 128  # col halo: Mosaic requires DMA column slices (start AND

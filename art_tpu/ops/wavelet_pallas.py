@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from art_tpu.ops.wavelet import _B3
 
-TILE_Y = 512  # halo overhead (TY+2P)/TY*(TX+2P)/TX: 1.33x vs 1.69x at 256x1024
-TILE_X = 2048
+TILE_Y = 512  # halo overhead (TY+2P)/TY*(TX+2P)/TX: 1.41x vs 1.69x at 256x1024
+TILE_X = 1024
 PAD = 64
 LEVELS = 5
 

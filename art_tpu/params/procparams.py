@@ -847,13 +847,17 @@ class LensProfParams(ParamGroup):
     ARP_SPEC = _spec(
         method=("LcMode", "s"), lcp_file=("LCPFile", "s"),
         use_dist=("UseDistortion", "b"), use_vign=("UseVignette", "b"),
-        use_ca=("UseCA", "b"),
+        use_ca=("UseCA", "b"), lf_camera_make=("LFCameraMake", "s"),
+        lf_camera_model=("LFCameraModel", "s"), lf_lens=("LFLens", "s"),
     )
     method: str = "none"  # none|lfauto|lfmanual|lcp|exif (procparams.cc:2295)
     lcp_file: str = ""
     use_dist: bool = True
     use_vign: bool = True
     use_ca: bool = False
+    lf_camera_make: str = ""
+    lf_camera_model: str = ""
+    lf_lens: str = ""
 
 
 @dataclass

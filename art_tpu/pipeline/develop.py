@@ -307,12 +307,17 @@ def plan(frame, pp, fast=False):
                     data["lcp_vign"] = np.asarray(
                         [x0, y0, 1.0 / fx, 1.0 / fy] + list(vm.vign_param()),
                         dtype=np.float32)
-        # metadata-embedded vignette on the raw plane
-        # (lensexif.cc processVignette :617)
-        elif lp.method == "exif" and lp.use_vign:
-            from art_tpu.lens import exifcorr
+        # metadata-embedded / lensfun vignette on the raw plane
+        # (lensexif.cc processVignette :617, rtlensfun.cc processVignette)
+        elif lp.method in ("exif", "lfauto", "lfmanual") and lp.use_vign:
+            if lp.method == "exif":
+                from art_tpu.lens import exifcorr
 
-            corr = exifcorr.for_frame(frame)
+                corr = exifcorr.for_frame(frame)
+            else:
+                from art_tpu.lens import lensfun
+
+                corr = lensfun.for_frame(pp, frame)
             if corr is not None and corr.has_vign:
                 if corr.kind == "spline":
                     data["exif_vign"] = np.stack(

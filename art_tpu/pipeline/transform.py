@@ -72,15 +72,22 @@ def _lcp_geometry_active(pp):
 
 
 def _exif_geometry_active(pp, frame):
-    """ExifCorr when metadata-embedded corrections are selected and the
-    frame carries them (lensexif.cc role; method "exif",
-    procparams.cc:2295)."""
+    """ExifCorr when metadata-embedded (method "exif", lensexif.cc) or
+    lensfun-database (methods "lfauto"/"lfmanual", rtlensfun.cc)
+    corrections are selected and available."""
     lp = pp.lens_prof
-    if frame is None or lp.method != "exif" or not (lp.use_dist or lp.use_ca):
+    if frame is None or not (lp.use_dist or lp.use_ca):
         return None
-    from art_tpu.lens.exifcorr import for_frame
+    if lp.method == "exif":
+        from art_tpu.lens.exifcorr import for_frame
 
-    corr = for_frame(frame)
+        corr = for_frame(frame)
+    elif lp.method in ("lfauto", "lfmanual"):
+        from art_tpu.lens.lensfun import for_frame as lf_for_frame
+
+        corr = lf_for_frame(pp, frame)
+    else:
+        return None
     if corr is None:
         return None
     if (lp.use_dist and corr.has_dist) or (lp.use_ca and corr.has_ca):

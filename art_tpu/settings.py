@@ -33,6 +33,11 @@ class Settings:
     # XMP sidecar naming (settings.h XmpSidecarStyle): "std" = file.xmp,
     # "ext" = file.raw.xmp
     xmp_sidecar_style: str = "std"
+    # lensfun XML database directory (rtlensfun.cc LFDatabase::init's
+    # lensfunDbDirectory option); None = lensfun corrections disabled
+    lensfun_db_dir: str | None = None
+    # directory for CTL scripts / HaldCLUTs (options.clutsDir)
+    cluts_dir: str | None = None
 
 
 settings = Settings()
