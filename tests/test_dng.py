@@ -94,3 +94,34 @@ def test_corrupt_dng_rejected():
         decode_dng_bytes(b"not a dng file at all")
     with pytest.raises(ValueError):
         decode_dng_bytes(b"II\x2a\x00\xff\xff\xff\xff")
+
+
+def test_pil_written_tiff_container_decodes(tmp_path):
+    """Independent-writer check: a third-party library (PIL) writes the
+    TIFF container with DNG CFA tags — breaking the artraw-writer /
+    artraw-reader circularity for the container walker and the
+    uncompressed strip path (VERDICT r1 weak #6)."""
+    from PIL import Image
+    from PIL.TiffImagePlugin import ImageFileDirectory_v2
+
+    rng = np.random.default_rng(5)
+    mos = rng.integers(100, 16000, size=(32, 48)).astype(np.uint16)
+    img = Image.fromarray(mos, mode="I;16")
+    info = ImageFileDirectory_v2()
+    info[262] = 32803              # PhotometricInterpretation = CFA
+    info[33421] = (2, 2)           # CFARepeatPatternDim
+    info[33422] = bytes([0, 1, 1, 2])  # CFAPattern RGGB
+    info[50714] = 256              # BlackLevel
+    info[50717] = 16383            # WhiteLevel
+    info[271] = "PILMaker"
+    info[272] = "PILModel 9000"
+    p = tmp_path / "pil.tif"
+    img.save(p, tiffinfo=info)
+
+    img2, meta = decode_dng_bytes(p.read_bytes())
+    assert img2.shape == (32, 48)
+    np.testing.assert_array_equal(img2, mos)
+    assert meta["cfa_pattern"] == [0, 1, 1, 2]
+    assert meta["black"][0] == 256
+    assert meta["white"][0] == 16383
+    assert meta["make"] == "PILMaker"
