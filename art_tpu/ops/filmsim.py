@@ -19,6 +19,17 @@ from art_tpu.core.image import MAXVAL
 _lut_cache: dict = {}
 
 
+class _FS:
+    __slots__ = ("clut_filename", "clut_params", "strength",
+                 "after_tone_curve")
+
+    def __init__(self, f, p, s, a):
+        self.clut_filename = f
+        self.clut_params = p
+        self.strength = s
+        self.after_tone_curve = a
+
+
 def _parse_lut_params(raw):
     """"name=v1,v2;..." -> {name: scalar} (procparams.cc load_lut_params)."""
     out = {}
@@ -34,11 +45,24 @@ def _parse_lut_params(raw):
 
 
 def _plan_common(pp, ctx, want_after):
+    import os
+
     fs = pp.film_simulation
     if not fs.enabled or not fs.clut_filename:
         return None
     if bool(fs.after_tone_curve) != want_after:
         return None
+    fname = fs.clut_filename
+    if not os.path.isabs(fname):
+        # relative CLUT paths resolve against options.clutsDir
+        # (clutstore.cc getCTLLut full_filename)
+        from art_tpu.settings import settings
+
+        if settings.cluts_dir:
+            cand = os.path.join(settings.cluts_dir, fname)
+            if os.path.exists(cand):
+                fname = cand
+    fs = _FS(fname, fs.clut_params, fs.strength, fs.after_tone_curve)
     key = (fs.clut_filename, fs.clut_params)
     if fs.clut_filename.lower().endswith(".ctl"):
         # CTL script: bake to a LUT over the PQ shaper domain

@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from art_tpu.ops.wavelet import _B3
 
-TILE_Y = 512  # halo overhead (TY+2P)/TY*(TX+2P)/TX: 1.41x vs 1.69x at 256x1024
-TILE_X = 1024
+TILE_Y = 256  # NOTE: 512-row tiles cut halo overhead 1.69x->1.41x but Mosaic
+TILE_X = 1024  # compile time explodes (>25min vs ~5min) -- not worth it
 PAD = 64
 LEVELS = 5
 
