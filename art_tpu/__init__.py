@@ -73,3 +73,25 @@ def process_image(path_or_image, params, fast=False):
     from art_tpu.pipeline import process_image as _process
 
     return _process(path_or_image, params, fast=fast)
+
+
+def thumbnail(path, params=None, max_px=256):
+    """Thumbnail as (3, H, W) float [0,1] (rtengine Thumbnail role,
+    SURVEY 2.1): the embedded JPEG preview when one exists, else a
+    fast-pipeline develop resized so max(H, W) <= max_px."""
+    import numpy as np
+
+    from art_tpu.io.metadata import embedded_thumb
+
+    thumb = embedded_thumb(path)
+    if thumb is None:
+        from art_tpu.params import ProcParams
+        from art_tpu.pipeline import process_image as _process
+
+        pp = params or ProcParams()
+        thumb = np.asarray(_process(path, pp, fast=True), np.float32)
+    c, h, w = thumb.shape
+    step = max(1, int(np.ceil(max(h, w) / float(max_px))))
+    if step > 1:
+        thumb = thumb[:, ::step, ::step]
+    return thumb

@@ -103,3 +103,21 @@ def test_build_exif_bytes_roundtrip(tmp_path):
     if isinstance(et, tuple):
         et = et[0] / et[1]
     assert sub[34855] == 320 and float(et) == pytest.approx(1 / 60)
+
+
+def test_thumbnail_api(tmp_path):
+    """art_tpu.thumbnail: embedded preview or fast develop, bounded size
+    (Thumbnail engine role, SURVEY 2.1)."""
+    import numpy as np
+
+    import art_tpu
+    from art_tpu.io.dngwrite import write_dng
+
+    rng = np.random.default_rng(1)
+    mos = rng.integers(200, 16000, size=(96, 144)).astype(np.uint16)
+    p = tmp_path / "t.dng"
+    write_dng(str(p), mos, pattern="RGGB", black=0.0, white=16383)
+    th = art_tpu.thumbnail(str(p), max_px=64)
+    assert th.shape[0] == 3
+    assert max(th.shape[1:]) <= 64
+    assert float(th.max()) <= 1.0 and float(th.min()) >= 0.0
