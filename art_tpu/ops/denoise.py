@@ -195,6 +195,11 @@ def apply(rgb, data, static):
     blends = [data["lum_detail"] if do_lum and not use_dct else 0.0,
               0.0, 0.0]
 
+    # optional fused raw head (develop.py): WB mults + clip + cam2work
+    pre = None
+    if "pre_mat" in data:
+        pre = (data["pre_mults"], data["pre_mat"])
+
     # fused path: gamma+YUV+wavelet as one Pallas kernel (no guided/
     # NLMeans post passes that need the YUV planes on the outside)
     if nl == 0 and guided == 0 and not use_dct and rgb.ndim == 3:
@@ -203,9 +208,19 @@ def apply(rgb, data, static):
         # sigma sentinel -1: per-tile in-kernel MAD (no host prelude)
         out = wavelet_denoise_pallas_rgb(
             rgb, lw, ec, data["gam_fwd"], data["gam_inv"],
-            [-1.0, -1.0, -1.0], strengths, blends)
+            [-1.0, -1.0, -1.0], strengths, blends, pre=pre)
         if out is not None:
             return out
+
+    if pre is not None:
+        # kernel unavailable (small image): apply the head chain here
+        m = pre[1]
+        v = jnp.clip(rgb * pre[0][:, None, None], 0.0, MAXVAL)
+        rgb = jnp.stack([
+            m[0, 0] * v[0] + m[0, 1] * v[1] + m[0, 2] * v[2],
+            m[1, 0] * v[0] + m[1, 1] * v[1] + m[1, 2] * v[2],
+            m[2, 0] * v[0] + m[2, 1] * v[1] + m[2, 2] * v[2],
+        ])
 
     x = rgb * ec
 

@@ -331,10 +331,30 @@ def _curve_fn_from_scalars(coeffs_ref, shape):
     return lambda x: _clenshaw_sqrtwarp(x, cks)
 
 
-def _neutral_kernel(params_ref, coeffs_ref, x_ref, o_ref, *, cshape):
-    P = [params_ref[0, i] for i in range(43)]
+def _epilogue(r, g, b, W, trc):
+    """rgb2out fused into the kernel tail: working -> output primaries,
+    clip to [0,1], TRC encode (develop.py rgb2out). W: 9 scalars
+    (work2out row-major); trc: static ("srgb"/"linear", arg) spec."""
+    inv = 1.0 / MAXVAL
+    o0 = (W[0] * r + W[1] * g + W[2] * b) * inv
+    o1 = (W[3] * r + W[4] * g + W[5] * b) * inv
+    o2 = (W[6] * r + W[7] * g + W[8] * b) * inv
+    out = []
+    for o in (o0, o1, o2):
+        o = jnp.clip(o, 0.0, 1.0)
+        if trc[0] == "srgb":
+            o = cs.srgb_gamma(o, jnp)
+        out.append(o)
+    return out
+
+
+def _neutral_kernel(params_ref, coeffs_ref, x_ref, o_ref, *, cshape, epi):
+    n = 52 if epi else 43
+    P = [params_ref[0, i] for i in range(n)]
     curve_fn = _curve_fn_from_scalars(coeffs_ref, cshape)
     r, g, b = _neutral_core(x_ref[0], x_ref[1], x_ref[2], P, curve_fn)
+    if epi:
+        r, g, b = _epilogue(r, g, b, P[43:52], epi)
     o_ref[0] = r
     o_ref[1] = g
     o_ref[2] = b
@@ -347,14 +367,26 @@ def _pick_tile(n, opts):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("cshape", "interpret"))
-def _run_neutral_pallas(rgb, params, coeffs, cshape, interpret=False):
+def _pick_tx(w, ty):
+    """Lane-dim tile: the transform is pointwise (no halo), so a full-
+    width tile is legal whenever it fits VMEM — one grid step per row
+    band instead of w/128 (awkward widths like 6016 = 128*47 otherwise
+    fall to 128-wide tiles and pay ~750 grid/DMA prologues)."""
+    if w % 128 == 0 and 3 * ty * w * 8 <= 48 * 1024 * 1024:
+        return w
+    return _pick_tile(w, (512, 256, 128))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cshape", "epi", "interpret"))
+def _run_neutral_pallas(rgb, params, coeffs, cshape, epi=None,
+                        interpret=False):
     _, h, w = rgb.shape
     ty = _pick_tile(h, (256, 128))
-    tx = _pick_tile(w, (512, 256, 128))
+    tx = _pick_tx(w, ty)
     grid = (h // ty, w // tx)
     return pl.pallas_call(
-        functools.partial(_neutral_kernel, cshape=cshape),
+        functools.partial(_neutral_kernel, cshape=cshape, epi=epi),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -372,19 +404,27 @@ def _run_neutral_pallas(rgb, params, coeffs, cshape, interpret=False):
 def apply_neutral(rgb, data, static):
     coeffs = data["coeffs"]
     params = data["params"]
+    # fused rgb2out epilogue: develop passes the work2out matrix in data
+    # and the static output TRC spec as a trailing ("epi", trc) entry
+    epi = None
+    if static and isinstance(static[-1], tuple) and static[-1][0] == "epi":
+        epi = static[-1][1]
+        params = jnp.concatenate([
+            jnp.asarray(params, jnp.float32).reshape(-1),
+            jnp.asarray(data["out_mat"], jnp.float32).reshape(-1)])
     seg = coeffs.ndim == 2 and coeffs.shape[0] not in (1, 2)
     if not seg and rgb.ndim == 3:
         _, h, w = rgb.shape
-        if (_pick_tile(h, (256, 128))
-                and _pick_tile(w, (512, 256, 128))):
+        ty = _pick_tile(h, (256, 128))
+        if ty and _pick_tx(w, ty):
             interpret = jax.default_backend() not in ("tpu", "axon")
             cshape = ((1, int(coeffs.shape[0])) if coeffs.ndim == 1
                       else tuple(int(d) for d in coeffs.shape))
             return _run_neutral_pallas(rgb, params, coeffs, cshape,
-                                       interpret=interpret)
+                                       epi=epi, interpret=interpret)
 
     # whole-plane XLA fallback (segment-represented curves, odd shapes)
-    P = [params[i] for i in range(43)]
+    P = [params[i] for i in range(52 if epi else 43)]
     if seg:
         from art_tpu.core.curve1d import eval_curve
 
@@ -397,4 +437,6 @@ def apply_neutral(rgb, data, static):
         cks = [coeffs[k] for k in range(int(coeffs.shape[0]))]
         curve_fn = lambda x: _clenshaw_sqrtwarp(x, cks)
     r, g, b = _neutral_core(rgb[0], rgb[1], rgb[2], P, curve_fn)
+    if epi:
+        r, g, b = _epilogue(r, g, b, P[43:52], epi)
     return jnp.stack([r, g, b])

@@ -96,35 +96,47 @@ def _shrink(d, t2, detail_blend):
     return dd + (d - dd) * detail_blend
 
 
-def _kernel(sc_ref, x_hbm, out_ref, win, sem):
+def _kernel(sc_ref, x_hbm, out_ref, win, sem, *, tx):
     c = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     wy = TILE_Y + 2 * PAD
-    wx = TILE_X + 2 * PAD
+    wx = tx + 2 * PAD
     copy = pltpu.make_async_copy(
-        x_hbm.at[c, pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)], win, sem)
+        x_hbm.at[c, pl.ds(i * TILE_Y, wy), pl.ds(j * tx, wx)], win, sem)
     copy.start()
     copy.wait()
     x = win[:]
     out = _wavelet_chain(x, sc_ref[c, 0], sc_ref[c, 1], sc_ref[c, 2])
-    out_ref[0] = out[PAD : PAD + TILE_Y, PAD : PAD + TILE_X]
+    out_ref[0] = out[PAD : PAD + TILE_Y, PAD : PAD + tx]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _run(x3, sc, interpret=False):
+def _pick_tx_plane(w):
+    """Full-width lane tile for awkward widths (not a TILE_X multiple,
+    e.g. 6016): kills the halo recompute in x AND the pad-to-tile waste,
+    when the halo window fits VMEM. TILE_X-multiple widths keep the
+    standard tiling (per-tile MAD granularity unchanged)."""
+    if w % TILE_X != 0 and w % 128 == 0 \
+            and (TILE_Y + 2 * PAD) * (w + 2 * PAD) * 4 * 6 \
+            <= 64 * 1024 * 1024:
+        return w
+    return TILE_X
+
+
+@functools.partial(jax.jit, static_argnames=("tx", "interpret"))
+def _run(x3, sc, tx=TILE_X, interpret=False):
     """x3: (C, H, W) planes; sc: (C, 3) [sigma, strength, detail] rows."""
     n, h, w = x3.shape
-    grid = (n, h // TILE_Y, w // TILE_X)
+    grid = (n, h // TILE_Y, w // tx)
     wy = TILE_Y + 2 * PAD
-    wx = TILE_X + 2 * PAD
+    wx = tx + 2 * PAD
     xp = jnp.pad(x3, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, tx=tx),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, TILE_Y, TILE_X),
+        out_specs=pl.BlockSpec((1, TILE_Y, tx),
                                lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w), x3.dtype),
@@ -220,13 +232,13 @@ def _wavelet_chain(plane, sigma, strength, detail_blend):
 
 
 def _kernel_rgb(pv_ref, cf_ref, ci_ref, x_hbm, out_ref, win, sem, *,
-                kf, ki):
+                kf, ki, pre, tx):
     i = pl.program_id(0)
     j = pl.program_id(1)
     wy = TILE_Y + 2 * PAD
-    wx = TILE_X + 2 * PAD
+    wx = tx + 2 * PAD
     copy = pltpu.make_async_copy(
-        x_hbm.at[:, pl.ds(i * TILE_Y, wy), pl.ds(j * TILE_X, wx)], win,
+        x_hbm.at[:, pl.ds(i * TILE_Y, wy), pl.ds(j * tx, wx)], win,
         sem)
     copy.start()
     copy.wait()
@@ -242,9 +254,21 @@ def _kernel_rgb(pv_ref, cf_ref, ci_ref, x_hbm, out_ref, win, sem, *,
     def fwd(x):
         return gamma_fwd_eval(jnp.clip(x * gain, 0.0, 1.0), pf, qf)
 
-    r = fwd(win[0])
-    g = fwd(win[1])
-    b = fwd(win[2])
+    if pre:
+        # fused raw head: WB multipliers + clip + cam2work matrix
+        # (develop.py rgb2work) on VMEM values — saves a whole-plane
+        # HBM pass when denoise is the first op after demosaic
+        q = [pv_ref[0, 14 + k] for k in range(12)]
+        r0 = jnp.clip(win[0] * q[0], 0.0, 65535.0)
+        g0 = jnp.clip(win[1] * q[1], 0.0, 65535.0)
+        b0 = jnp.clip(win[2] * q[2], 0.0, 65535.0)
+        r = fwd(q[3] * r0 + q[4] * g0 + q[5] * b0)
+        g = fwd(q[6] * r0 + q[7] * g0 + q[8] * b0)
+        b = fwd(q[9] * r0 + q[10] * g0 + q[11] * b0)
+    else:
+        r = fwd(win[0])
+        g = fwd(win[1])
+        b = fwd(win[2])
     y = lw0 * r + lw1 * g + lw2 * b
     u = y - b
     v = r - y
@@ -262,27 +286,41 @@ def _kernel_rgb(pv_ref, cf_ref, ci_ref, x_hbm, out_ref, win, sem, *,
     def inv(x):
         return gamma_inv_eval(x, pi, qi) * inv_gain
 
-    sl = (slice(PAD, PAD + TILE_Y), slice(PAD, PAD + TILE_X))
+    sl = (slice(PAD, PAD + TILE_Y), slice(PAD, PAD + tx))
     out_ref[0] = inv(r2)[sl]
     out_ref[1] = inv(g2)[sl]
     out_ref[2] = inv(b2)[sl]
 
 
-@functools.partial(jax.jit, static_argnames=("kf", "ki", "interpret"))
-def _run_rgb(rgb, pv, cfwd, cinv, kf, ki, interpret=False):
+def _pick_tx_rgb(w):
+    """Lane-dim tile for the fused RGB kernel: full-width for awkward
+    widths (not a TILE_X multiple, e.g. 6016) when the 3-plane halo
+    window fits VMEM — kills both the x halo recompute and the
+    pad-to-tile waste."""
+    if w % TILE_X != 0 and w % 128 == 0 \
+            and 3 * (TILE_Y + 2 * PAD) * (w + 2 * PAD) * 4 * 3 \
+            <= 80 * 1024 * 1024:
+        return w
+    return TILE_X
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kf", "ki", "pre", "tx", "interpret"))
+def _run_rgb(rgb, pv, cfwd, cinv, kf, ki, pre=False, tx=TILE_X,
+             interpret=False):
     _, h, w = rgb.shape
-    grid = (h // TILE_Y, w // TILE_X)
+    grid = (h // TILE_Y, w // tx)
     wy = TILE_Y + 2 * PAD
-    wx = TILE_X + 2 * PAD
+    wx = tx + 2 * PAD
     xp = jnp.pad(rgb, ((0, 0), (PAD, PAD), (PAD, PAD)), mode="reflect")
     return pl.pallas_call(
-        functools.partial(_kernel_rgb, kf=kf, ki=ki),
+        functools.partial(_kernel_rgb, kf=kf, ki=ki, pre=pre, tx=tx),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((3, TILE_Y, TILE_X),
+        out_specs=pl.BlockSpec((3, TILE_Y, tx),
                                lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(rgb.shape, rgb.dtype),
@@ -295,30 +333,43 @@ def _run_rgb(rgb, pv, cfwd, cinv, kf, ki, interpret=False):
 
 
 def wavelet_denoise_pallas_rgb(rgb, lum_w, ecomp, gam_fwd, gam_inv,
-                               sigmas, strengths, blends):
+                               sigmas, strengths, blends, pre=None):
     """Fused gamma+YUV+wavelet denoise of a (3, H, W) RGB stack in the
     0..MAXVAL domain. Returns denoised RGB, or None when too small.
 
     sigmas/strengths/blends: length-3 (Y, U, V) traced/host scalars;
-    gam_fwd/gam_inv: (2, K) split-fit coefficient arrays."""
+    gam_fwd/gam_inv: (2, K) split-fit coefficient arrays; pre (optional):
+    (mults[3], cam2work 3x3) fused raw head applied before the gamma."""
     _, h, w = rgb.shape
-    if h < TILE_Y or w < TILE_X:
+    if h < TILE_Y or w < min(TILE_X, _pick_tx_rgb(w)):
         return None
-    xp, ph, pw = _pad_to_tiles(rgb)
+    tx = _pick_tx_rgb(w)
+    if tx == TILE_X:
+        xp, ph, pw = _pad_to_tiles(rgb)
+    else:
+        ph = (-h) % TILE_Y
+        pw = 0
+        xp = (jnp.pad(rgb, ((0, 0), (0, ph), (0, 0)), mode="reflect")
+              if ph else rgb)
     MAXVAL = 65535.0
-    pv = jnp.concatenate([
+    parts = [
         jnp.asarray(lum_w, jnp.float32).reshape(3),
         jnp.asarray(ecomp / MAXVAL, jnp.float32).reshape(1),
         jnp.stack([jnp.asarray(s, jnp.float32) for s in sigmas]),
         jnp.stack([jnp.asarray(s, jnp.float32) for s in strengths]),
         jnp.stack([jnp.asarray(b, jnp.float32) for b in blends]),
         jnp.asarray(MAXVAL / ecomp, jnp.float32).reshape(1),
-    ])
+    ]
+    if pre is not None:
+        parts.append(jnp.asarray(pre[0], jnp.float32).reshape(3))
+        parts.append(jnp.asarray(pre[1], jnp.float32).reshape(9))
+    pv = jnp.concatenate(parts)
     cfwd = jnp.asarray(gam_fwd, jnp.float32)
     cinv = jnp.asarray(gam_inv, jnp.float32)
     interpret = jax.default_backend() not in ("tpu", "axon")
     out = _run_rgb(xp, pv, cfwd, cinv, int(cfwd.shape[1]),
-                   int(cinv.shape[1]), interpret=interpret)
+                   int(cinv.shape[1]), pre=pre is not None,
+                   interpret=interpret)
     if ph or pw:
         out = out[:, :h, :w]
     return out

@@ -751,6 +751,27 @@ def _mat3(m, rgb):
 def _build_run(config: PipelineConfig):
     """Build the (un-jitted) device program for a config."""
 
+    # Pass-fusion gates (static per config). Each whole-plane elementwise
+    # pass costs ~2-3ms at 24MP; the hot default pipeline folds the raw
+    # head (WB mults + clip + cam2work) into the fused denoise kernel and
+    # the rgb2out tail (work2out + TRC) into the neutral tone-curve kernel.
+    first0 = next((s for s in config.steps if s[2] == 0), None)
+    fuse_head = (
+        settings.fuse_passes
+        and config.is_raw and first0 is not None and first0[0] == "denoise"
+        and len(first0[1]) >= 5
+        and first0[1][1] == 0 and first0[1][2] == 0 and not first0[1][4]
+        and config.hl_mode != "blend" and config.do_clip
+        and config.early_resize is None and config.dcp is None
+        and config.icc_input_trc is None and not config.pixelshift)
+    late_steps = [s for s in config.steps if s[2] > 0]
+    fuse_tail = (
+        settings.fuse_passes
+        and config.resize_to is None and bool(late_steps)
+        and late_steps[-1][0] == "tonecurve"
+        and bool(late_steps[-1][1]) and late_steps[-1][1][0] == "neutral"
+        and config.out_trc[0] in ("srgb", "linear"))
+
     def run(inp, data):
         if config.is_raw:
             if config.darkframe:
@@ -885,13 +906,14 @@ def _build_run(config: PipelineConfig):
 
                 rgb = recover_inpaint(rgb, data["hl_scale_mul"],
                                       data["hl_wb_cam"])
-            rgb = rgb * data["rgb_mults"][:, None, None]
-            if config.hl_mode == "blend":
-                from art_tpu.raw.hilite import recover_blend
+            if not fuse_head:
+                rgb = rgb * data["rgb_mults"][:, None, None]
+                if config.hl_mode == "blend":
+                    from art_tpu.raw.hilite import recover_blend
 
-                rgb = recover_blend(rgb, data["hl_max"])
-            if config.do_clip:
-                rgb = jnp.clip(rgb, 0.0, MAXVAL)
+                    rgb = recover_blend(rgb, data["hl_max"])
+                if config.do_clip:
+                    rgb = jnp.clip(rgb, 0.0, MAXVAL)
         else:
             rgb = inp
         if config.early_resize is not None:
@@ -903,7 +925,9 @@ def _build_run(config: PipelineConfig):
             sh0, sw0, _, _ = config.early_resize
             rgb = rgb[:, :sh0, :sw0]
             rgb = _early_rs(rgb, data["early_rows"], data["early_cols"])
-        if config.is_raw and config.dcp is not None:
+        if fuse_head:
+            pass  # mults + clip + cam2work ride the fused denoise kernel
+        elif config.is_raw and config.dcp is not None:
             from art_tpu.color.dcp import apply_dcp
 
             rgb = apply_dcp(rgb, data, config.dcp)
@@ -918,7 +942,12 @@ def _build_run(config: PipelineConfig):
         for name, static, stage in config.steps:
             if stage == 0:
                 mod = ops_pkg.get_op(name)
-                rgb = mod.apply(rgb, data[f"op:{name}"], static)
+                d = data[f"op:{name}"]
+                if fuse_head and (name, static, stage) == first0:
+                    d = dict(d)
+                    d["pre_mults"] = data["rgb_mults"]
+                    d["pre_mat"] = data["cam2work"]
+                rgb = mod.apply(rgb, d, static)
 
         # coarse rotate/flip: orig_shape is post-rotation; recover the
         # sensor shape, drop the pad margin, then rotate/flip. In the
@@ -949,7 +978,12 @@ def _build_run(config: PipelineConfig):
         for name, static, stage in config.steps:
             if stage > 0:
                 mod = ops_pkg.get_op(name)
-                rgb = mod.apply(rgb, data[f"op:{name}"], static)
+                d = data[f"op:{name}"]
+                if fuse_tail and (name, static, stage) == late_steps[-1]:
+                    d = dict(d)
+                    d["out_mat"] = data["work2out"]
+                    static = static + (("epi", config.out_trc),)
+                rgb = mod.apply(rgb, d, static)
 
         late = config.late_crop
         if config.resize_to is not None:
@@ -966,9 +1000,11 @@ def _build_run(config: PipelineConfig):
                                         config.prsharp)
 
         # rgb2out: working -> output primaries + TRC encode, to [0,1]
-        rgb = _mat3(data["work2out"], rgb)
-        rgb = jnp.clip(rgb / MAXVAL, 0.0, 1.0)
-        rgb = cs.encode_trc(rgb, config.out_trc, jnp)
+        # (skipped when it rode the neutral tone-curve kernel epilogue)
+        if not fuse_tail:
+            rgb = _mat3(data["work2out"], rgb)
+            rgb = jnp.clip(rgb / MAXVAL, 0.0, 1.0)
+            rgb = cs.encode_trc(rgb, config.out_trc, jnp)
         if late:
             rgb = rgb[:, :h0r, :w0r]
         return rgb

@@ -38,6 +38,10 @@ class Settings:
     lensfun_db_dir: str | None = None
     # directory for CTL scripts / HaldCLUTs (options.clutsDir)
     cluts_dir: str | None = None
+    # Fold the raw head (WB+cam2work) and rgb2out tail passes into the
+    # adjacent Pallas kernels on the default pipeline (perf; False keeps
+    # every pass a separate XLA program region — used by parity tests)
+    fuse_passes: bool = True
 
 
 settings = Settings()
