@@ -807,6 +807,11 @@ struct RawBitReader {
         nbits -= n;
         return v;
     }
+    int peek(int n) {
+        if (nbits < n) fill();
+        return (int)((bits >> (nbits - n)) & ((1ull << n) - 1));
+    }
+    void skip(int n) { nbits -= n; }
 };
 
 static int nef_huff_decode(RawBitReader& br, const HuffTable& h) {
@@ -996,6 +1001,157 @@ static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
         meta->as_shot_neutral[0] = wb[1] / wb[0];
         meta->as_shot_neutral[1] = 1.0;
         meta->as_shot_neutral[2] = wb[1] / wb[2];
+    }
+    const TagValue* mk = ifds[0].find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifds[0].find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
+// Pentax PEF (reference decode boundary: rtengine/dcraw.cc Pentax branch,
+// rawimage.cc loadRaw; fresh implementation from the public PEF format
+// description). The raw IFD uses compression 65535; pixels are coded as a
+// plain MSB-first bitstream of (huffman ssss category, magnitude bits)
+// with LJPEG sign extension. Predictors: the first two columns of a row
+// continue the row-pair two above (per row/column parity), later columns
+// add onto the same-parity pixel two back. The code table ships in
+// Pentax MakerNote tag 0x220: u16 header (dep = (v+12)&15), 12 reserved
+// bytes, dep left-aligned 12-bit code-start values (u16), dep code
+// lengths (u8); entry c covers 4096>>len consecutive 12-bit windows.
+// ---------------------------------------------------------------------------
+
+static uint16_t* decode_pef(const Reader& r, const std::vector<IFD>& ifds,
+                            ArtRawMeta* meta) {
+    const IFD* raw = nullptr;
+    for (auto& ifd : ifds)
+        if ((int)ifd.num(259, 0) == 65535) { raw = &ifd; break; }
+    if (!raw) return nullptr;
+    int width = (int)raw->num(256, 0);
+    int height = (int)raw->num(257, 0);
+    int bps = (int)raw->num(258, 12);
+    if (width <= 0 || height <= 0 || bps < 8 || bps > 14) return nullptr;
+    const TagValue* so = raw->find(273);
+    if (!so || so->nums.empty()) return nullptr;
+    size_t off = (size_t)so->nums[0];
+    if (off >= r.len) return nullptr;
+
+    // Pentax MakerNote: "AOC\0" + "II"/"MM" with an IFD at +6 whose value
+    // offsets are file-absolute, or "PENTAX \0" + "II"/"MM" with an IFD
+    // at +10 and offsets relative to the makernote start.
+    const TagValue* mn = nullptr;
+    for (auto& ifd : ifds) {
+        const TagValue* v = ifd.find(0x927C);
+        if (v && v->off) { mn = v; break; }
+    }
+    IFD pifd;
+    size_t pbase = 0;       // base the tag value offsets are relative to
+    bool have_mn = false;
+    if (mn && mn->off + 12 < r.len) {
+        const uint8_t* d = r.buf + mn->off;
+        if (memcmp(d, "AOC", 3) == 0 && d[3] == 0) {
+            Reader nr{r.buf, r.len, d[4] == 'I'};
+            std::vector<uint32_t> subs;
+            parse_ifd(nr, mn->off + 6, pifd, subs, 3);
+            pbase = 0;
+            have_mn = true;
+        } else if (memcmp(d, "PENTAX ", 7) == 0) {
+            Reader nr{r.buf + mn->off, r.len - mn->off, d[8] == 'I'};
+            std::vector<uint32_t> subs;
+            parse_ifd(nr, 10, pifd, subs, 3);
+            pbase = mn->off;
+            have_mn = true;
+        }
+    }
+    if (!have_mn) return nullptr;
+
+    // huffman LUT from tag 0x220
+    const TagValue* ht = pifd.find(0x220);
+    if (!ht || !ht->off) return nullptr;
+    size_t hoff = pbase + ht->off;
+    if (hoff + 16 > r.len) return nullptr;
+    Reader hr{r.buf, r.len, r.little};
+    int dep = ((int)hr.u16(hoff) + 12) & 15;
+    size_t p = hoff + 2 + 12;
+    if (p + (size_t)dep * 3 > r.len || dep < 1 || dep > 13) return nullptr;
+    uint8_t lut_len[4096];
+    uint8_t lut_cat[4096];
+    memset(lut_len, 0, sizeof(lut_len));
+    memset(lut_cat, 0, sizeof(lut_cat));
+    for (int c = 0; c < dep; ++c) {
+        int start = hr.u16(p + 2 * c) & 4095;
+        int len = r.buf[p + 2 * dep + c];
+        if (len < 1 || len > 12) return nullptr;
+        int span = 4096 >> len;
+        for (int i = 0; i < span; ++i) {
+            int idx = (start + i) & 4095;
+            lut_len[idx] = (uint8_t)len;
+            lut_cat[idx] = (uint8_t)c;
+        }
+    }
+
+    uint16_t* out = (uint16_t*)calloc((size_t)width * height,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+    RawBitReader br(r.buf + off, r.buf + r.len);
+    int vpred[2][2] = {{0, 0}, {0, 0}};
+    bool ok = true;
+    for (int row = 0; row < height && ok; ++row) {
+        for (int col = 0; col < width; ++col) {
+            int w12 = br.peek(12);
+            int clen = lut_len[w12];
+            if (!clen) { ok = false; break; }
+            br.skip(clen);
+            int cat = lut_cat[w12];
+            int diff = 0;
+            if (cat > 0) {
+                diff = br.get(cat);
+                if ((diff & (1 << (cat - 1))) == 0)
+                    diff -= (1 << cat) - 1;
+            }
+            int val;
+            if (col < 2)
+                val = vpred[row & 1][col] += diff;
+            else
+                val = out[(size_t)row * width + col - 2] + diff;
+            out[(size_t)row * width + col] = (uint16_t)(val & 0xFFFF);
+        }
+    }
+    if (!ok) { free(out); return nullptr; }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    meta->orientation = (int)ifds[0].num(274, 1);
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    // Pentax Bayer bodies are RGGB unless the raw IFD says otherwise
+    const TagValue* cfa = raw->find(33422);
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] =
+            (cfa && cfa->nums.size() >= 4) ? (int)cfa->nums[i] : rggb[i];
+    // makernote 0x200 = BlackPoint (4), 0x201 = WhitePoint (camera WB,
+    // stored R,G1,G2,B); white level from bps (camconst refines per-ISO)
+    const TagValue* bp = pifd.find(0x200);
+    for (int i = 0; i < 4; ++i)
+        meta->black[i] = (bp && bp->nums.size() >= 4)
+            ? bp->nums[i] : 0.0;
+    for (int i = 0; i < 4; ++i) meta->white[i] = (1 << bps) - 1;
+    const TagValue* wp = pifd.find(0x201);
+    if (wp && wp->nums.size() >= 4 && wp->nums[0] > 0 && wp->nums[3] > 0) {
+        double g = 0.5 * (wp->nums[1] + wp->nums[2]);
+        meta->as_shot_neutral[0] = g > 0 ? g / wp->nums[0] * 0 + wp->nums[0] > 0 ? g / wp->nums[0] : 0 : 0;
+        meta->as_shot_neutral[0] = g / wp->nums[0];
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = g / wp->nums[3];
+    }
+    meta->iso = 100.0;
+    for (auto& ifd : ifds) {
+        const TagValue* iso = ifd.find(34855);
+        if (iso && !iso->nums.empty()) { meta->iso = iso->nums[0]; break; }
     }
     const TagValue* mk = ifds[0].find(271);
     if (mk) strncpy(meta->make, mk->str.c_str(), 63);
