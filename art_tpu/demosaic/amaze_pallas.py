@@ -146,7 +146,7 @@ def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
     else:
         out_shape = jax.ShapeDtypeStruct(
             (n_out, h + 2 * PAD_Y, w + 2 * PAD_X), dtype)
-        out_specs = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
         scratch = win_scratch + [
             pltpu.VMEM((n_out, TILE_Y, TILE_X), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -156,7 +156,7 @@ def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+        + [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * n_in,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,

@@ -90,7 +90,7 @@ def _run(y, maskinv, interpret=False):
     return pl.pallas_call(
         _kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)] * 2,
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), y.dtype),

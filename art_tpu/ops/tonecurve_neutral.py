@@ -368,13 +368,15 @@ def _pick_tile(n, opts):
 
 
 def _pick_tx(w, ty):
-    """Lane-dim tile: the transform is pointwise (no halo), so a full-
-    width tile is legal whenever it fits VMEM — one grid step per row
-    band instead of w/128 (awkward widths like 6016 = 128*47 otherwise
-    fall to 128-wide tiles and pay ~750 grid/DMA prologues)."""
-    if w % 128 == 0 and 3 * ty * w * 8 <= 48 * 1024 * 1024:
-        return w
-    return _pick_tile(w, (512, 256, 128))
+    """Lane-dim tile. Measured on v5e at the 24MP bench shape (4096x6016,
+    fused rgb2out epilogue): 256x128 tiles run 11.96 ms/frame while
+    full-width 6016-lane tiles are ~2x slower (20.6-22.6 ms at ty in
+    32..128) and at ty=256 exceed VMEM outright — 2x35.25M double-
+    buffered in+out windows plus 95.66M register-spill slots from the
+    ~16-plane live set = 166M vs the 128M budget. Small lane tiles keep
+    the whole live set in registers; the per-tile grid/DMA prologue the
+    full-width variant tried to avoid is noise by comparison."""
+    return _pick_tile(w, (128, 256, 512))
 
 
 @functools.partial(jax.jit,

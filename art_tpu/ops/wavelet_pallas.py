@@ -135,7 +135,7 @@ def _run(x3, sc, tx=TILE_X, interpret=False):
         functools.partial(_kernel, tx=tx),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec((1, TILE_Y, tx),
                                lambda c, i, j: (c, i, j),
                                memory_space=pltpu.VMEM),
@@ -319,7 +319,7 @@ def _run_rgb(rgb, pv, cfwd, cinv, kf, ki, pre=False, tx=TILE_X,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec((3, TILE_Y, tx),
                                lambda i, j: (0, i, j),
                                memory_space=pltpu.VMEM),

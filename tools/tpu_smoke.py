@@ -1,0 +1,181 @@
+"""TPU smoke gate: compile + run every Pallas kernel at bench shapes on
+the REAL chip, then the full flagship program, asserting finite output.
+
+The pytest suite deliberately pins JAX_PLATFORMS=cpu (tests/conftest.py),
+which flips every Pallas kernel to interpret mode — 336 green tests say
+nothing about Mosaic compilation or VMEM budgets (the exact failure class
+that shipped in round 2: a tile-size change put _run_neutral_pallas at
+166M/128M VMEM and the driver bench crashed). This gate is the
+compiled-path check: run it on the chip before every snapshot.
+
+Usage:  python tools/tpu_smoke.py [--quick]
+Exit 0 = all kernels compile and produce finite output at 24MP bench
+shapes (4096x6016 padded domain). Results are also appended to
+SMOKE_TPU.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+H, W = 4096, 6016  # 24MP padded bench shape
+
+
+def _finite(x, name):
+    a = np.asarray(x)
+    if not np.all(np.isfinite(a)):
+        raise AssertionError(f"{name}: non-finite output")
+    return a
+
+
+def check_tonecurve_neutral():
+    import jax.numpy as jnp
+
+    from art_tpu.ops import tonecurve_neutral as tn
+    from art_tpu.params import ProcParams
+
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(0, 65535, (3, H, W)).astype(np.float32))
+    lut = np.linspace(0, 1, 65536).astype(np.float32)
+    _, data = tn.plan_neutral(ProcParams(), {"working_profile": "Rec2020"},
+                              lut, 1.0)
+    data = dict(data)
+    data["out_mat"] = np.eye(3, dtype=np.float32)
+    out = tn.apply_neutral(rgb, data, (("epi", ("srgb",)),))
+    _finite(out[:, ::512, ::512], "tonecurve_neutral(fused epilogue)")
+    out = tn.apply_neutral(rgb, {k: data[k] for k in ("coeffs", "params")},
+                           ())
+    _finite(out[:, ::512, ::512], "tonecurve_neutral")
+
+
+def check_amaze():
+    import jax.numpy as jnp
+
+    from art_tpu.demosaic.amaze_pallas import amaze_pallas
+
+    rng = np.random.default_rng(1)
+    cfa = jnp.asarray(rng.uniform(0, 60000, (H, W)).astype(np.float32))
+    out = amaze_pallas(cfa, "RGGB", 65535.0, 65535.0 * 0.8)
+    assert out is not None, "amaze_pallas returned None at bench shape"
+    _finite(out[:, ::512, ::512], "amaze_pallas")
+
+
+def check_wavelet():
+    import jax.numpy as jnp
+
+    from art_tpu.core.curve1d import fit_gamma_split
+    from art_tpu.ops.wavelet_pallas import (wavelet_denoise_pallas_multi,
+                                            wavelet_denoise_pallas_rgb)
+
+    rng = np.random.default_rng(2)
+    x3 = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+    out = wavelet_denoise_pallas_multi(x3, [0.02, 0.02, 0.02],
+                                       [1.0, 1.0, 1.0], [0.0, 0.0, 0.0])
+    assert out is not None
+    _finite(out[:, ::512, ::512], "wavelet_pallas_multi")
+    gf, gi = fit_gamma_split(1.7)
+    out = wavelet_denoise_pallas_rgb(
+        x3 * 65535.0, (0.3, 0.6, 0.1), 0.0, gf, gi,
+        [-1.0, 0.02, 0.02], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0])
+    assert out is not None
+    _finite(out[:, ::512, ::512], "wavelet_pallas_rgb(fused, MAD)")
+
+
+def check_nlmeans():
+    import jax.numpy as jnp
+
+    from art_tpu.ops.nlmeans_pallas import nlmeans_pallas
+
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.uniform(0, 65535, (H, W)).astype(np.float32))
+    out = nlmeans_pallas(y, jnp.ones_like(y))
+    assert out is not None
+    _finite(out[::512, ::512], "nlmeans_pallas")
+
+
+def check_flagship():
+    """The full bench pipeline (plan + jit executor) for one frame."""
+    import jax
+
+    from art_tpu.core.image import pad_to_multiple
+    from art_tpu.io.rawfile import synthesize_bayer
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import _executor, plan
+    from art_tpu.settings import settings
+
+    rng = np.random.default_rng(4)
+    rgb = rng.uniform(0.02, 0.95, size=(3, 4000, 6000)).astype(np.float32)
+    frame = synthesize_bayer(rgb, pattern="RGGB")
+    pp = ProcParams()
+    arp = os.path.join(ROOT, "art_tpu", "data", "profiles",
+                       "Standard Film Curve.arp")
+    pp.apply_arp_text(open(arp).read())
+    pp.raw.bayer.method = "amaze"
+    pp.denoise.enabled = True
+    pp.denoise.luminance = 20.0
+    pp.denoise.chrominance = 20.0
+    config, data = plan(frame, pp)
+    inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
+    run = _executor(config)
+    out = run(jax.device_put(inp), jax.device_put(data))
+    _finite(np.asarray(out[:, ::512, ::512]), "flagship pipeline")
+
+
+CHECKS = [
+    ("tonecurve_neutral", check_tonecurve_neutral),
+    ("amaze_pallas", check_amaze),
+    ("wavelet_pallas", check_wavelet),
+    ("nlmeans_pallas", check_nlmeans),
+    ("flagship", check_flagship),
+]
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+
+    from art_tpu.core import compilecache
+
+    compilecache.enable()
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        print(f"tpu_smoke: backend is {backend!r}, not a TPU — this gate "
+              "only means something compiled on the chip. FAIL.")
+        sys.exit(2)
+
+    results = {}
+    rc = 0
+    for name, fn in CHECKS:
+        if quick and name == "flagship":
+            continue
+        t0 = time.time()
+        try:
+            fn()
+            dt = time.time() - t0
+            print(f"  {name:24s} OK   ({dt:6.1f}s)")
+            results[name] = {"ok": True, "seconds": round(dt, 1)}
+        except Exception as e:
+            dt = time.time() - t0
+            msg = str(e).splitlines()[0][:200]
+            print(f"  {name:24s} FAIL ({dt:6.1f}s): {msg}")
+            results[name] = {"ok": False, "seconds": round(dt, 1),
+                             "error": msg}
+            rc = 1
+    out = {"when": time.strftime("%Y-%m-%d %H:%M:%S"),
+           "backend": backend, "ok": rc == 0, "results": results}
+    with open(os.path.join(ROOT, "SMOKE_TPU.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"tpu_smoke: {'PASS' if rc == 0 else 'FAIL'}")
+    sys.exit(rc)
+
+
+if __name__ == "__main__":
+    main()
