@@ -1115,7 +1115,10 @@ static uint16_t* decode_pef(const Reader& r, const std::vector<IFD>& ifds,
                 val = vpred[row & 1][col] += diff;
             else
                 val = out[(size_t)row * width + col - 2] + diff;
-            out[(size_t)row * width + col] = (uint16_t)(val & 0xFFFF);
+            // corrupted streams make the predictor leave the bps range
+            // (dcraw pentax_load_raw flags hpred >> tiff_bps as an error)
+            if ((unsigned)val >> bps) { ok = false; break; }
+            out[(size_t)row * width + col] = (uint16_t)val;
         }
     }
     if (!ok) { free(out); return nullptr; }
@@ -1134,16 +1137,32 @@ static uint16_t* decode_pef(const Reader& r, const std::vector<IFD>& ifds,
         meta->cfa_pattern[i] =
             (cfa && cfa->nums.size() >= 4) ? (int)cfa->nums[i] : rggb[i];
     // makernote 0x200 = BlackPoint (4), 0x201 = WhitePoint (camera WB,
-    // stored R,G1,G2,B); white level from bps (camconst refines per-ISO)
+    // stored R,G1,G2,B); white level from bps (camconst refines per-ISO).
+    // Blacks are remapped from the stored R,G1,G2,B order to CFA pattern
+    // positions (dcraw stores them color-indexed via cblack[c ^ (c >> 1)])
+    // so non-RGGB layouts land on the right channels.
     const TagValue* bp = pifd.find(0x200);
-    for (int i = 0; i < 4; ++i)
-        meta->black[i] = (bp && bp->nums.size() >= 4)
-            ? bp->nums[i] : 0.0;
+    if (bp && bp->nums.size() >= 4) {
+        // color-indexed blacks: [R, G1, B, G2]
+        double cbl[4] = {bp->nums[0], bp->nums[1], bp->nums[3],
+                         bp->nums[2]};
+        bool first_g = true;
+        for (int i = 0; i < 4; ++i) {
+            int c = meta->cfa_pattern[i];
+            if (c == 1) {
+                meta->black[i] = first_g ? cbl[1] : cbl[3];
+                first_g = false;
+            } else {
+                meta->black[i] = cbl[c];
+            }
+        }
+    } else {
+        for (int i = 0; i < 4; ++i) meta->black[i] = 0.0;
+    }
     for (int i = 0; i < 4; ++i) meta->white[i] = (1 << bps) - 1;
     const TagValue* wp = pifd.find(0x201);
     if (wp && wp->nums.size() >= 4 && wp->nums[0] > 0 && wp->nums[3] > 0) {
         double g = 0.5 * (wp->nums[1] + wp->nums[2]);
-        meta->as_shot_neutral[0] = g > 0 ? g / wp->nums[0] * 0 + wp->nums[0] > 0 ? g / wp->nums[0] : 0 : 0;
         meta->as_shot_neutral[0] = g / wp->nums[0];
         meta->as_shot_neutral[1] = 1.0;
         meta->as_shot_neutral[2] = g / wp->nums[3];
@@ -2223,13 +2242,19 @@ static uint16_t* decode_raf(const uint8_t* buf, size_t len,
 
 // ---------------------------------------------------------------------------
 // Canon CR3 (reference decode boundary: rtengine/canon_cr3_decoder.cc,
-// itself LibRaw's CRX decoder). Fresh implementation of the published
-// CRX bitstream model: ISO-BMFF container with CRAW tracks; per tile /
-// per Bayer-subplane subbands coded with an adaptive Rice-Golomb
-// residual stream over a median (LOCO-I-style) predictor plus
-// zero-run-length coding. Scope: the lossless profile (imageLevels 0,
-// encType 0, 4 planes); craw (wavelet levels) routes to the
-// preconverter hook.
+// itself LibRaw's CRX decoder). CRX is an undocumented format whose only
+// public "spec" is that decoder lineage, so this section is DERIVED from
+// the published decoder: the predictor/K-parameter math, the JS/J
+// run-length tables, and the per-line decode structure follow
+// canon_cr3_decoder.cc (crxPredictKParameter :910, run tables :784,
+// crxDecodeTopLine/crxDecodeLine) — they cannot be independently
+// re-derived without corpus reverse-engineering. The container walk
+// (ISO-BMFF), buffer management, and integration are this repo's own.
+// Bitstream model: CRAW tracks; per tile / per Bayer-subplane subbands
+// coded with an adaptive Rice-Golomb residual stream over a median
+// (LOCO-I-style) predictor plus zero-run-length coding. Scope: the
+// lossless profile (imageLevels 0, encType 0, 4 planes); lossy (wavelet)
+// cRAW routes to the preconverter hook.
 // ---------------------------------------------------------------------------
 
 // MSB-first bit reader over a memory span; reads past the end yield 0.
@@ -2849,6 +2874,12 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     for (auto& ifd : ifds) {
         if ((int)ifd.num(259, 0) == 34713)
             return decode_nef(r, ifds, meta);
+    }
+
+    // Pentax PEF: compression-65535 raw IFD
+    for (auto& ifd : ifds) {
+        if ((int)ifd.num(259, 0) == 65535)
+            return decode_pef(r, ifds, meta);
     }
 
     // Sony ARW: compression-32767 raw IFD (ARW2 cRAW), or an

@@ -199,7 +199,8 @@ def load_raw(path) -> RawFrame:
     from art_tpu.io import dng
 
     ext = os.path.splitext(str(path))[1].lower()
-    if ext in (".dng", ".cr2", ".cr3", ".raf", ".nef", ".arw", ".rw2"):
+    if ext in (".dng", ".cr2", ".cr3", ".raf", ".nef", ".arw", ".rw2",
+               ".pef"):
         frame = dng.load_dng(path)
         # RW2 carries per-channel blacks in its tags; the camconst value
         # is an additional pedestal (dcraw merges `black` into cblack)
