@@ -79,12 +79,31 @@ class BatchQueue:
         return results
 
 
-def process_batch(jobs, devices=None, progress=None):
+def process_batch(jobs, devices=None, progress=None, prefetch=2,
+                  stats=None):
     """jobs: list of (input_path, ProcParams, output_path).
 
     Returns a list of bools (success per job). Groups jobs by compiled
     config and shards each group's batch axis over the mesh.
+
+    Streaming pipeline (the 1000-image catalog of BASELINE config 5 must
+    not decode up-front — 1000x24MP is ~100GB host RAM):
+    - a feeder thread submits decodes gated by a semaphore of
+      `prefetch * n_dev` frames, so peak decoded-frames-in-flight is
+      O(mesh size), not O(catalog);
+    - the consumer buckets decoded frames by compiled config and
+      dispatches a device step as soon as a bucket fills one mesh pass
+      (JAX dispatch is async, so decode of chunk N+1 overlaps device
+      execution of chunk N);
+    - the blocking device readback + encode happen on worker threads,
+      which also release the semaphore — true double buffering.
+
+    stats: optional dict; gets "peak_in_flight" (max decoded frames
+    held at once) for tests.
     """
+    import queue as queue_mod
+    import threading
+
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -98,37 +117,44 @@ def process_batch(jobs, devices=None, progress=None):
     n_dev = len(devices)
     mesh = Mesh(np.array(devices), axis_names=("batch",))
     batch_sharding = NamedSharding(mesh, P("batch"))
-    replicated = NamedSharding(mesh, P())
 
     pool = ThreadPoolExecutor(max_workers=settings.host_threads)
+    window = max(n_dev + 1, prefetch * n_dev)
+    sem = threading.Semaphore(window)
+    done_q: "queue_mod.Queue" = queue_mod.Queue()
+    in_flight = [0]
+    peak = [0]
+    count_lock = threading.Lock()
 
-    # host decode (parallel) — keyed by job index
-    def decode(job):
+    def _track(delta):
+        with count_lock:
+            in_flight[0] += delta
+            peak[0] = max(peak[0], in_flight[0])
+
+    def decode(idx, job):
         inp, pp, outp = job
         try:
             frame = load_image(inp)
             config, data = plan(frame, pp)
             arr = frame.cfa if frame.is_raw else frame.rgb
             padded, _ = pad_to_multiple(arr, settings.pad_multiple)
-            return (config, data, padded, outp)
+            _track(+1)
+            done_q.put((idx, (config, data, padded, outp)))
         except Exception as e:  # per-file errors don't kill the queue
-            return e
+            done_q.put((idx, e))
 
-    decoded = list(pool.map(decode, jobs))
+    def feeder():
+        for idx, job in enumerate(jobs):
+            sem.acquire()
+            pool.submit(decode, idx, job)
 
-    # group by config so each group shares one compiled program
-    groups: dict = {}
-    for idx, d in enumerate(decoded):
-        if isinstance(d, Exception):
-            continue
-        config = d[0]
-        groups.setdefault(config, []).append(idx)
+    threading.Thread(target=feeder, daemon=True).start()
 
     results = [False] * len(jobs)
     encode_futures = []
     compiled_cache = {}
 
-    for config, indices in groups.items():
+    def get_compiled(config):
         if config not in compiled_cache:
             fn = _build_run(config)
 
@@ -136,46 +162,71 @@ def process_batch(jobs, devices=None, progress=None):
                 out = _fn(inp[0], jax.tree.map(lambda x: x[0], data))
                 return out[None]
 
-            from jax.sharding import PartitionSpec as _P
-
             try:
                 from jax import shard_map
             except ImportError:
                 from jax.experimental.shard_map import shard_map
 
-            batched = jax.jit(shard_map(
+            compiled_cache[config] = jax.jit(shard_map(
                 _per_device, mesh=mesh,
-                in_specs=(_P("batch"), _P("batch")),
-                out_specs=_P("batch"), check_vma=False))
-            compiled_cache[config] = batched
-        batched = compiled_cache[config]
+                in_specs=(P("batch"), P("batch")),
+                out_specs=P("batch"), check_vma=False))
+        return compiled_cache[config]
 
-        # chunk to multiples of the mesh size (pad by repeating the last)
-        for c0 in range(0, len(indices), n_dev):
-            chunk = indices[c0 : c0 + n_dev]
-            pad_n = n_dev - len(chunk)
-            sel = chunk + [chunk[-1]] * pad_n
-            inputs = np.stack([decoded[i][2] for i in sel])
-            datas = [decoded[i][1] for i in sel]
-            data_stack = jax.tree.map(
-                lambda *xs: np.stack(xs), *datas)
-            out = batched(
-                jax.device_put(inputs, batch_sharding),
-                jax.device_put(data_stack, batch_sharding))
-            out_np = np.asarray(out)
-            for k, i in enumerate(chunk):
-                outp = decoded[i][3]
-                arr = out_np[k]
+    def run_group(config, items):
+        """items: list of (idx, (config, data, padded, outp)); dispatches
+        one mesh pass (pad by repeating the last frame) and hands the
+        blocking readback + encode to a worker thread."""
+        batched = get_compiled(config)
+        sel = items + [items[-1]] * (n_dev - len(items))
+        inputs = np.stack([d[2] for _, d in sel])
+        data_stack = jax.tree.map(
+            lambda *xs: np.stack(xs), *[d[1] for _, d in sel])
+        out = batched(jax.device_put(inputs, batch_sharding),
+                      jax.device_put(data_stack, batch_sharding))
 
-                def enc(arr=arr, outp=outp, i=i):
-                    save_image(outp, arr)
+        def drain(out=out, items=list(items)):
+            try:
+                out_np = np.asarray(out)  # blocks until the device step
+                for k, (i, d) in enumerate(items):
+                    save_image(d[3], out_np[k])
                     results[i] = True
                     if progress:
-                        progress(i, outp)
+                        progress(i, d[3])
+            finally:
+                for _ in items:
+                    _track(-1)
+                    sem.release()
 
-                encode_futures.append(pool.submit(enc))
+        encode_futures.append(pool.submit(drain))
+
+    buckets: dict = {}
+    held = 0
+    for _ in range(len(jobs)):
+        idx, d = done_q.get()
+        if isinstance(d, Exception):
+            sem.release()
+            continue
+        config = d[0]
+        buckets.setdefault(config, []).append((idx, d))
+        held += 1
+        if len(buckets[config]) == n_dev:
+            run_group(config, buckets.pop(config))
+            held -= n_dev
+        # many distinct configs can starve the decode window while every
+        # bucket sits below n_dev: flush the fullest to keep frames moving
+        while held >= window - n_dev and buckets:
+            cfg = max(buckets, key=lambda c: len(buckets[c]))
+            items = buckets.pop(cfg)
+            run_group(cfg, items)
+            held -= len(items)
+    for cfg in list(buckets):
+        run_group(cfg, buckets.pop(cfg))
 
     for f in encode_futures:
         f.result()
     pool.shutdown()
+    if stats is not None:
+        stats["peak_in_flight"] = peak[0]
+        stats["window"] = window
     return results

@@ -52,6 +52,24 @@ def test_batch_determinism_vs_single(tmp_path):
         assert np.abs(single_u8 - batched).max() < 0.01
 
 
+def test_batch_streaming_bounded_memory(tmp_path):
+    """32+ jobs: peak decoded-frames-in-flight stays O(mesh), not
+    O(catalog) (the 1000x24MP config-5 catalog must not be decoded
+    up-front)."""
+    import jax
+
+    paths = make_dngs(tmp_path, 33)
+    jobs = [(str(p), ProcParams(), str(tmp_path / f"s{i}.jpg"))
+            for i, p in enumerate(paths)]
+    stats = {}
+    results = process_batch(jobs, devices=jax.devices(), prefetch=2,
+                            stats=stats)
+    assert all(results)
+    n_dev = len(jax.devices())
+    assert stats["peak_in_flight"] <= 2 * n_dev
+    assert stats["peak_in_flight"] < len(jobs)
+
+
 def test_batch_queue_persistence(tmp_path):
     paths = make_dngs(tmp_path, 3)
     qfile = tmp_path / "queue.json"
