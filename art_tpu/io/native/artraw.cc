@@ -2466,6 +2466,691 @@ static bool crx_decode_tile_plane(const uint8_t* data, size_t dataSize,
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// Lossy (wavelet) CRX. The cRAW profile codes each Bayer subplane as
+// 3*levels+1 subbands (LL + per-level HL/LH/HH), each an independent
+// Rice/Golomb bitstream, dequantized by a per-band qParam (v0x100, updated
+// per LL line from the stream) or a per-tile QP map (v0x200), then
+// reconstructed with an integer LeGall 5/3 inverse lifting.
+//
+// Architecture note: unlike the published decoder's line-streamed rolling
+// IDWT (canon_cr3_decoder.cc crxIdwt53Filter*), this implementation decodes
+// each subband fully into memory and synthesizes whole planes level by
+// level — simpler and equally fast on a host feeding a TPU. The bitstream
+// model itself (residual coding, run ladders, qParam/qStep dequantization,
+// lifting arithmetic, ExCoef band geometry) is DERIVED from the published
+// decoder — it cannot be re-derived independently; per-function citations
+// below.
+// ---------------------------------------------------------------------------
+
+// q_step_tbl (canon_cr3_decoder.cc:782)
+static const uint32_t kCrxQStepTbl[6] = {0x28, 0x2D, 0x33, 0x39, 0x40, 0x48};
+
+// exCoefNumTbl (canon_cr3_decoder.cc:776): per (levels-1, tile_dim & 7)
+// counts of extra boundary coefficients per band
+static const int kCrxExCoef[144] = {
+    1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0,
+    1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 0, 0, 1, 0, 1, 0, 0, 0, 1, 2, 2, 1, 0, 0, 1, 1, 1, 1, 0, 0,
+    1, 1, 1, 1, 0, 0, 1, 0, 1, 0, 0, 0, 1, 2, 2, 1, 0, 0, 1, 1, 1, 1, 0, 0,
+    1, 1, 1, 1, 1, 1, 1, 0, 1, 0, 1, 0, 1, 2, 2, 2, 2, 1, 1, 1, 1, 2, 2, 1,
+    1, 1, 1, 2, 2, 1, 1, 0, 1, 1, 1, 1, 1, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1};
+
+enum {
+    kCrxTileRight = 1,
+    kCrxTileLeft = 2,
+    kCrxTileBottom = 4,
+    kCrxTileTop = 8,
+};
+
+struct CrxBandInfo {
+    int width = 0, height = 0;
+    int64_t dataOff = 0;      // within the comp's data region
+    uint64_t dataSize = 0;
+    int qParam = 4;
+    bool hdrPartial = false;  // FF03 bit 27: per-line qParam updates
+    uint32_t qStepBase = 0, qStepMult = 0;  // FF13 headers
+    int rowStartAddOn = 0, rowEndAddOn = 0;
+    int colStartAddOn = 0, colEndAddOn = 0;
+    int levelShift = 0;
+};
+
+struct CrxCompInfo {
+    int64_t dataOff = 0;
+    uint32_t compSize = 0;
+    bool supportsPartial = false;
+    int roundedBits = 0;      // levels==0 lossy-lite; unsupported -> fail
+    std::vector<CrxBandInfo> bands;
+};
+
+struct CrxTileInfo {
+    uint64_t dataOff = 0;     // from the mdat data start
+    uint32_t tileSize = 0;
+    uint32_t qpSize = 0;
+    uint32_t extraSize = 0;
+    bool hasQP = false;
+    int width = 0, height = 0;
+    int flags = 0;
+    std::vector<CrxCompInfo> comps;
+    // per transform level (0 = coarsest) qStep tables, v0x200
+    std::vector<std::vector<uint32_t>> qsTbl;
+    std::vector<int> qsW, qsH;
+};
+
+// per-band geometry incl. neighbouring-tile extension coefficients
+// (crxProcessSubbands + crxSetupSubbandIdx)
+static void crx_band_geometry(int levels, int tileW, int tileH, int flags,
+                              std::vector<CrxBandInfo>& bands) {
+    bands.assign(3 * levels + 1, CrxBandInfo());
+    int bandWidth = tileW, bandHeight = tileH;
+    if (levels == 0) {
+        bands[0].width = tileW;
+        bands[0].height = tileH;
+        return;
+    }
+    const int* rowEx = kCrxExCoef + 0x30 * (levels - 1) + 6 * (tileW & 7);
+    const int* colEx = kCrxExCoef + 0x30 * (levels - 1) + 6 * (tileH & 7);
+    int bi = 3 * levels;  // walk from the finest level's HH down
+    for (int lv = 0; lv < levels; ++lv) {
+        int wOdd = bandWidth & 1, hOdd = bandHeight & 1;
+        bandWidth = (bandWidth + wOdd) >> 1;
+        bandHeight = (bandHeight + hOdd) >> 1;
+        int wEx0 = 0, wEx1 = 0, hEx0 = 0, hEx1 = 0;
+        int colStart = 0, rowStart = 0;
+        if (flags & kCrxTileRight) {
+            wEx0 = rowEx[2 * lv];
+            wEx1 = rowEx[2 * lv + 1];
+        }
+        if (flags & kCrxTileLeft) { ++wEx0; colStart = 1; }
+        if (flags & kCrxTileBottom) {
+            hEx0 = colEx[2 * lv];
+            hEx1 = colEx[2 * lv + 1];
+        }
+        if (flags & kCrxTileTop) { ++hEx0; rowStart = 1; }
+        int levelShift = 3 - (lv + 1);
+        // HH (high x, high y)
+        CrxBandInfo& hh = bands[bi];
+        hh.width = bandWidth + wEx0 - wOdd;
+        hh.height = bandHeight + hEx0 - hOdd;
+        hh.colStartAddOn = colStart; hh.colEndAddOn = wEx0 - colStart;
+        hh.rowStartAddOn = rowStart; hh.rowEndAddOn = hEx0 - rowStart;
+        hh.levelShift = levelShift;
+        // LH (low x, high y)
+        CrxBandInfo& lh = bands[bi - 1];
+        lh.width = bandWidth + wEx1;
+        lh.height = bandHeight + hEx0 - hOdd;
+        lh.colStartAddOn = 0; lh.colEndAddOn = wEx1;
+        lh.rowStartAddOn = rowStart; lh.rowEndAddOn = hEx0 - rowStart;
+        lh.levelShift = levelShift;
+        // HL (high x, low y)
+        CrxBandInfo& hl = bands[bi - 2];
+        hl.width = bandWidth + wEx0 - wOdd;
+        hl.height = bandHeight + hEx1;
+        hl.colStartAddOn = colStart; hl.colEndAddOn = wEx0 - colStart;
+        hl.rowStartAddOn = 0; hl.rowEndAddOn = hEx1;
+        hl.levelShift = levelShift;
+        bi -= 3;
+    }
+    int wExLL = (flags & kCrxTileRight) ? rowEx[2 * levels - 1] : 0;
+    int hExLL = (flags & kCrxTileBottom) ? colEx[2 * levels - 1] : 0;
+    CrxBandInfo& ll = bands[0];
+    ll.width = bandWidth + wExLL;
+    ll.height = bandHeight + hExLL;
+    ll.colStartAddOn = 0; ll.colEndAddOn = wExLL;
+    ll.rowStartAddOn = 0; ll.rowEndAddOn = hExLL;
+    ll.levelShift = 3 - levels;
+}
+
+// Rice code with the QP escape (crxUpdateQparam / crxReadQP): unary
+// escape at 23 zeros -> 8 raw bits
+static inline uint32_t crx_code_qp(CrxBits& br, int k) {
+    uint32_t z = br.zeros();
+    if (z >= 23) return br.bits(8);
+    if (k) return br.bits(k) | (z << k);
+    return z;
+}
+
+static inline int32_t crx_zigzag(uint32_t bitCode) {
+    return -(int32_t)(bitCode & 1) ^ (int32_t)(bitCode >> 1);
+}
+
+// top line of a non-progressive (H) subband
+// (crxDecodeTopLineNoRefPrevLine): zero-runs against the left value with
+// a per-column K history in kbuf
+static bool crx_decode_top_line_noref(CrxBandState& st, int32_t* line1,
+                                      int32_t* kbuf, int width) {
+    line1[0] = 0;
+    int length = width;
+    int pos = 1;
+    int kpos = 0;
+    for (; length > 1; --length) {
+        if (line1[pos - 1]) {
+            uint32_t bitCode = crx_code(st);
+            line1[pos] = crx_zigzag(bitCode);
+            st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        } else {
+            int nSyms = 0;
+            if (st.br.get1()) {
+                bool err = false;
+                nSyms = crx_run_length(st, length, &err);
+                if (err) return false;
+            }
+            length -= nSyms;
+            while (nSyms-- > 0) {
+                kbuf[kpos] = 0;
+                line1[pos] = 0;
+                ++pos;
+                ++kpos;
+            }
+            if (length <= 0) break;
+            uint32_t bitCode = crx_code(st);
+            line1[pos] = crx_zigzag(bitCode + 1);
+            st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        }
+        kbuf[kpos] = st.kParam;
+        ++kpos;
+        ++pos;
+    }
+    if (length == 1) {
+        uint32_t bitCode = crx_code(st);
+        line1[pos] = crx_zigzag(bitCode);
+        st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        kbuf[kpos] = st.kParam;
+        ++pos;
+    }
+    line1[pos] = 0;  // zero guard for the next line's context test
+    return true;
+}
+
+// interior line of a non-progressive subband (crxDecodeLineNoRefPrevLine):
+// values are pure residuals (no median prediction); run mode entered when
+// the (top, top-right, left) context is all zero
+static bool crx_decode_line_noref(CrxBandState& st, const int32_t* line0,
+                                  int32_t* line1, int32_t* kbuf, int width) {
+    int i = 0;
+    for (; i < width - 1; ++i) {
+        if (line0[i + 2] | line0[i + 1] | line1[i]) {
+            uint32_t bitCode = crx_code(st);
+            line1[i + 1] = crx_zigzag(bitCode);
+            st.kParam = crx_predict_k(st.kParam, bitCode, 0);
+            if (kbuf[i + 1] - st.kParam <= 1) {
+                if (st.kParam >= 15) st.kParam = 15;
+            } else {
+                ++st.kParam;
+            }
+        } else {
+            int nSyms = 0;
+            if (st.br.get1()) {
+                nSyms = 1;
+                while (st.br.get1()) {
+                    nSyms += (int)kCrxJS[st.sParam];
+                    if (i + nSyms > width) { nSyms = width - i; break; }
+                    if (st.sParam < 31) ++st.sParam;
+                    if (i + nSyms == width) break;
+                }
+                if (i + nSyms < width) {
+                    if (kCrxJ[st.sParam])
+                        nSyms += st.br.bits((int)kCrxJ[st.sParam]);
+                    if (st.sParam > 0) --st.sParam;
+                }
+                if (i + nSyms > width) return false;
+            }
+            if (nSyms > 0) {
+                memset(line1 + i + 1, 0, nSyms * sizeof(int32_t));
+                memset(kbuf + i, 0, nSyms * sizeof(int32_t));
+                i += nSyms;
+            }
+            if (i >= width - 1) {
+                if (i == width - 1) {
+                    uint32_t bitCode = crx_code(st);
+                    line1[i + 1] = crx_zigzag(bitCode + 1);
+                    st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+                    kbuf[i] = st.kParam;
+                }
+                continue;  // skips the loop-bottom kbuf store, then exits
+            }
+            uint32_t bitCode = crx_code(st);
+            line1[i + 1] = crx_zigzag(bitCode + 1);
+            st.kParam = crx_predict_k(st.kParam, bitCode, 0);
+            if (kbuf[i + 1] - st.kParam <= 1) {
+                if (st.kParam >= 15) st.kParam = 15;
+            } else {
+                ++st.kParam;
+            }
+        }
+        kbuf[i] = st.kParam;
+    }
+    if (i == width - 1) {
+        uint32_t bitCode = crx_code(st);
+        line1[i + 1] = crx_zigzag(bitCode);
+        st.kParam = crx_predict_k(st.kParam, bitCode, 15);
+        kbuf[i] = st.kParam;
+    }
+    return true;
+}
+
+// decode one whole subband, dequantized (crxDecodeLineWithIQuantization).
+// compPartial selects the median-predictor decoders (LL band of a
+// partial-capable comp) vs the non-progressive ones. qsTbl (v0x200) is the
+// per-level QP table, else the v0x100 qParam scale is used; `wavelet`
+// false = lossless levels==0 (no quantization at all).
+static bool crx_decode_band(const uint8_t* data, const CrxBandInfo& b,
+                            bool compPartial, bool wavelet,
+                            const uint32_t* qsTbl, int qsW, int qsH,
+                            std::vector<int32_t>& out) {
+    if (b.width < 0 || b.height < 0) return false;
+    out.assign((size_t)b.width * (size_t)b.height, 0);
+    if (b.width == 0 || b.height == 0) return true;
+    if (!b.dataSize) return true;  // empty band: zeros
+
+    CrxBandState st;
+    st.br = CrxBits{data, (size_t)b.dataSize};
+    int qParam = b.qParam;
+    int qK = 0;
+    std::vector<int32_t> lbuf(2 * ((size_t)b.width + 2), 0);
+    std::vector<int32_t> kvec;
+    if (!compPartial) kvec.assign((size_t)b.width + 1, 0);
+    int32_t* lineA = lbuf.data();
+    int32_t* lineB = lbuf.data() + (b.width + 2);
+
+    for (int row = 0; row < b.height; ++row) {
+        if (wavelet && b.hdrPartial && !qsTbl) {
+            // per-line qParam delta on the same stream, own K adaptation
+            // (crxUpdateQparam)
+            uint32_t bitCode = crx_code_qp(st.br, qK);
+            qParam += crx_zigzag(bitCode);
+            qK = crx_predict_k(qK, (int)bitCode, 0);
+            if (qK > 7) return false;
+        }
+        int32_t* l0 = (row & 1) ? lineB : lineA;
+        int32_t* l1 = (row & 1) ? lineA : lineB;
+        if (row == 0) {
+            st.kParam = 0;
+            st.sParam = 0;
+            l1 = lineB;
+            bool ok = compPartial
+                          ? crx_decode_top_line(st, lineB, b.width)
+                          : crx_decode_top_line_noref(st, lineB, kvec.data(),
+                                                      b.width);
+            if (!ok) return false;
+        } else {
+            bool ok = compPartial
+                          ? crx_decode_line(st, l0, l1, b.width)
+                          : crx_decode_line_noref(st, l0, l1, kvec.data(),
+                                                  b.width);
+            if (!ok) return false;
+        }
+        int32_t* dst = out.data() + (size_t)row * b.width;
+        if (!wavelet) {
+            memcpy(dst, l1 + 1, (size_t)b.width * sizeof(int32_t));
+        } else if (qsTbl) {
+            // v0x200 per-column steps (crxDecodeLineWithIQuantization
+            // qStep branch + getSubbandRow)
+            int r = row;
+            int qrow = r < b.rowStartAddOn
+                           ? 0
+                           : (r < b.height - b.rowEndAddOn
+                                  ? r - b.rowEndAddOn
+                                  : b.height - b.rowEndAddOn
+                                        - b.rowStartAddOn - 1);
+            if (qrow < 0) qrow = 0;
+            if (qrow > qsH - 1) qrow = qsH - 1;
+            const uint32_t* tp = qsTbl + (size_t)qsW * qrow;
+            auto qmul = [&](uint32_t t) -> int32_t {
+                uint32_t quantVal =
+                    b.qStepBase + (uint32_t)((t * b.qStepMult) >> 3);
+                if ((int32_t)quantVal < 1) quantVal = 1;
+                if (quantVal > 0x168000u) quantVal = 0x168000u;
+                return (int32_t)quantVal;
+            };
+            int lastIdx = (b.width - b.colEndAddOn - b.colStartAddOn - 1)
+                          >> b.levelShift;
+            if (lastIdx < 0) lastIdx = 0;
+            if (lastIdx > qsW - 1) lastIdx = qsW - 1;
+            for (int i = 0; i < b.colStartAddOn && i < b.width; ++i)
+                dst[i] = (int32_t)((int64_t)l1[1 + i] * qmul(tp[0]));
+            for (int i = b.colStartAddOn; i < b.width - b.colEndAddOn; ++i) {
+                int ci = (i - b.colStartAddOn) >> b.levelShift;
+                if (ci > qsW - 1) ci = qsW - 1;
+                dst[i] = (int32_t)((int64_t)l1[1 + i] * qmul(tp[ci]));
+            }
+            for (int i = b.width - b.colEndAddOn; i < b.width; ++i)
+                if (i >= 0)
+                    dst[i] = (int32_t)((int64_t)l1[1 + i]
+                                       * qmul(tp[lastIdx]));
+        } else {
+            // v0x100 scalar scale (crxDecodeLineWithIQuantization tail)
+            int32_t qScale;
+            if (qParam / 6 >= 6)
+                qScale = (int32_t)(kCrxQStepTbl[qParam % 6]
+                                   * (1u << (qParam / 6 + 26)));
+            else
+                qScale = (int32_t)(kCrxQStepTbl[qParam % 6]
+                                   >> (6 - qParam / 6));
+            if (qScale != 1)
+                for (int i = 0; i < b.width; ++i)
+                    dst[i] = (int32_t)((int64_t)l1[1 + i] * qScale);
+            else
+                memcpy(dst, l1 + 1, (size_t)b.width * sizeof(int32_t));
+        }
+    }
+    return true;
+}
+
+// inverse 5/3 lifting along one axis (the arithmetic of crxHorizontal53 /
+// crxIdwt53FilterTransform, whole-array form). extLead/extTrail: the
+// neighbouring-tile extension coefficients replace symmetric extension.
+static void crx_idwt53_1d(const int32_t* lo, const int32_t* hi, int32_t* out,
+                          int outN, bool extLead, bool extTrail) {
+    if (outN <= 0) return;
+    if (outN == 1) { out[0] = lo[0]; return; }
+    int li = 0, hj = 0, o = 0;
+    if (extLead) {
+        out[0] = lo[0] - ((hi[0] + hi[1] + 2) >> 2);
+        ++hj;
+    } else {
+        out[0] = lo[0] - ((hi[0] + 1) >> 1);
+    }
+    ++li;
+    for (int i = 0; i < outN - 3; i += 2) {
+        int32_t delta = lo[li] - ((hi[hj] + hi[hj + 1] + 2) >> 2);
+        out[o + 1] = hi[hj] + ((delta + out[o]) >> 1);
+        out[o + 2] = delta;
+        ++li;
+        ++hj;
+        o += 2;
+    }
+    if (extTrail) {
+        int32_t delta = lo[li] - ((hi[hj] + hi[hj + 1] + 2) >> 2);
+        out[o + 1] = hi[hj] + ((delta + out[o]) >> 1);
+        if (outN & 1) out[o + 2] = delta;
+    } else if (outN & 1) {
+        int32_t delta = lo[li] - ((hi[hj] + 1) >> 1);
+        out[o + 1] = hi[hj] + ((delta + out[o]) >> 1);
+        out[o + 2] = delta;
+    } else {
+        out[o + 1] = out[o] + hi[hj];
+    }
+}
+
+// samples consumed by crx_idwt53_1d from each input
+static inline void crx_idwt53_need(int outN, bool extLead, bool extTrail,
+                                   int* loNeed, int* hiNeed) {
+    if (outN <= 1) { *loNeed = 1; *hiNeed = 0; return; }
+    int niter = (outN - 2) >> 1;
+    *loNeed = 1 + niter + ((extTrail || (outN & 1)) ? 1 : 0);
+    *hiNeed = (extLead ? 1 : 0) + niter + (extTrail ? 2 : 1);
+}
+
+// one synthesis level: (LL, HL, LH, HH) -> outW x outH plane
+static bool crx_idwt_level(const std::vector<int32_t>& LL, int llW, int llH,
+                           const std::vector<int32_t>& HL, int hlW, int hlH,
+                           const std::vector<int32_t>& LH, int lhW, int lhH,
+                           const std::vector<int32_t>& HH, int hhW, int hhH,
+                           int outW, int outH, int flags,
+                           std::vector<int32_t>& out) {
+    const bool left = flags & kCrxTileLeft, right = flags & kCrxTileRight;
+    const bool top = flags & kCrxTileTop, bottom = flags & kCrxTileBottom;
+    int loNeedC, hiNeedC, loNeedR, hiNeedR;
+    crx_idwt53_need(outW, left, right, &loNeedC, &hiNeedC);
+    crx_idwt53_need(outH, top, bottom, &loNeedR, &hiNeedR);
+    if (llW < loNeedC || (outW > 1 && hlW < hiNeedC)) return false;
+    if (lhW < loNeedC || (outW > 1 && hhW < hiNeedC)) return false;
+    if (llH < loNeedR || hlH < loNeedR) return false;
+    if (outH > 1 && (lhH < hiNeedR || hhH < hiNeedR)) return false;
+
+    // horizontal pass: low rows from (LL,HL), high rows from (LH,HH)
+    std::vector<int32_t> lowP((size_t)loNeedR * outW);
+    std::vector<int32_t> highP((size_t)hiNeedR * outW);
+    for (int j = 0; j < loNeedR; ++j)
+        crx_idwt53_1d(LL.data() + (size_t)j * llW, HL.data() + (size_t)j * hlW,
+                      lowP.data() + (size_t)j * outW, outW, left, right);
+    for (int j = 0; j < hiNeedR; ++j)
+        crx_idwt53_1d(LH.data() + (size_t)j * lhW, HH.data() + (size_t)j * hhW,
+                      highP.data() + (size_t)j * outW, outW, left, right);
+
+    // vertical pass, row-vector form of the same lifting
+    out.assign((size_t)outW * outH, 0);
+    auto lrow = [&](int j) { return lowP.data() + (size_t)j * outW; };
+    auto hrow = [&](int j) { return highP.data() + (size_t)j * outW; };
+    auto orow = [&](int j) { return out.data() + (size_t)j * outW; };
+    if (outH == 1) {
+        memcpy(orow(0), lrow(0), (size_t)outW * sizeof(int32_t));
+        return true;
+    }
+    int lj = 0, hj = 0, oj = 0;
+    if (top) {
+        const int32_t *l = lrow(0), *h0 = hrow(0), *h1 = hrow(1);
+        int32_t* d = orow(0);
+        for (int x = 0; x < outW; ++x)
+            d[x] = l[x] - ((h0[x] + h1[x] + 2) >> 2);
+        ++hj;
+    } else {
+        const int32_t *l = lrow(0), *h0 = hrow(0);
+        int32_t* d = orow(0);
+        for (int x = 0; x < outW; ++x) d[x] = l[x] - ((h0[x] + 1) >> 1);
+    }
+    ++lj;
+    for (int i = 0; i < outH - 3; i += 2) {
+        const int32_t *l = lrow(lj), *h0 = hrow(hj), *h1 = hrow(hj + 1);
+        const int32_t* prevE = orow(oj);
+        int32_t *dOdd = orow(oj + 1), *dEven = orow(oj + 2);
+        for (int x = 0; x < outW; ++x) {
+            int32_t delta = l[x] - ((h0[x] + h1[x] + 2) >> 2);
+            dOdd[x] = h0[x] + ((delta + prevE[x]) >> 1);
+            dEven[x] = delta;
+        }
+        ++lj;
+        ++hj;
+        oj += 2;
+    }
+    if (bottom) {
+        const int32_t *l = lrow(lj), *h0 = hrow(hj), *h1 = hrow(hj + 1);
+        const int32_t* prevE = orow(oj);
+        int32_t* dOdd = orow(oj + 1);
+        int32_t* dEven = (outH & 1) ? orow(oj + 2) : nullptr;
+        for (int x = 0; x < outW; ++x) {
+            int32_t delta = l[x] - ((h0[x] + h1[x] + 2) >> 2);
+            dOdd[x] = h0[x] + ((delta + prevE[x]) >> 1);
+            if (dEven) dEven[x] = delta;
+        }
+    } else if (outH & 1) {
+        const int32_t *l = lrow(lj), *h0 = hrow(hj);
+        const int32_t* prevE = orow(oj);
+        int32_t *dOdd = orow(oj + 1), *dEven = orow(oj + 2);
+        for (int x = 0; x < outW; ++x) {
+            int32_t delta = l[x] - ((h0[x] + 1) >> 1);
+            dOdd[x] = h0[x] + ((delta + prevE[x]) >> 1);
+            dEven[x] = delta;
+        }
+    } else {
+        const int32_t *h0 = hrow(hj), *prevE = orow(oj);
+        int32_t* dOdd = orow(oj + 1);
+        for (int x = 0; x < outW; ++x) dOdd[x] = prevE[x] + h0[x];
+    }
+    return true;
+}
+
+// v0x200 QP map: Golomb-coded per-8x2 block deltas (crxDecodeGolombTop /
+// crxDecodeGolombNormal), then per-level step tables (crxMakeQStep)
+static bool crx_decode_qsteps(const uint8_t* data, size_t qpSize, int levels,
+                              int tileW, int tileH, CrxTileInfo& tile) {
+    int qpW = (tileW >> 3) + ((tileW & 7) != 0);
+    int qpH = (tileH >> 1) + (tileH & 1);
+    if (qpW <= 0 || qpH <= 0 || levels < 1 || levels > 3) return false;
+    CrxBits br{data, qpSize};
+    std::vector<int32_t> qp((size_t)qpW * qpH);
+    std::vector<int32_t> lines(2 * ((size_t)qpW + 2), 0);
+    int32_t* bufA = lines.data();
+    int32_t* bufB = lines.data() + qpW + 2;
+    int k = 0;
+    for (int row = 0; row < qpH; ++row) {
+        int32_t* l0 = (row & 1) ? bufB : bufA;
+        int32_t* l1 = (row & 1) ? bufA : bufB;
+        if (row == 0) {
+            l1 = bufB;
+            l1[0] = 0;
+            for (int i = 0; i < qpW; ++i) {
+                uint32_t c = crx_code_qp(br, k);
+                l1[i + 1] = l1[i] + crx_zigzag(c);
+                k = crx_predict_k(k, (int)c, 7);
+            }
+            l1[qpW + 1] = l1[qpW] + 1;
+        } else {
+            l1[0] = l0[1];
+            int32_t deltaH = l0[1] - l0[0];
+            for (int i = 0; i < qpW; ++i) {
+                // median prediction (crxPrediction)
+                int32_t left = l1[i], topv = l0[i + 1];
+                int32_t deltaV = l0[i] - l1[i];
+                int32_t symb[4] = {left + deltaH, left + deltaH, left, topv};
+                int32_t pred = symb[(((deltaV < 0) ^ (deltaH < 0)) << 1)
+                                    + ((left < topv) ^ (deltaH < 0))];
+                uint32_t c = crx_code_qp(br, k);
+                l1[i + 1] = pred + crx_zigzag(c);
+                if (i + 1 < qpW) {
+                    int32_t nd = l0[i + 2] - l0[i + 1];
+                    k = crx_predict_k(
+                        k, (int)((c + 2 * (uint32_t)(nd < 0 ? -nd : nd)) >> 1),
+                        7);
+                    deltaH = nd;
+                } else {
+                    k = crx_predict_k(k, (int)c, 7);
+                }
+            }
+            l1[qpW + 1] = l1[qpW] + 1;
+        }
+        for (int i = 0; i < qpW; ++i)
+            qp[(size_t)qpW * row + i] = l1[i + 1] + 4;
+    }
+
+    // build per-level tables (coarsest first), crxMakeQStep
+    auto stepOf = [](int32_t q) -> uint32_t {
+        if (q < 0) q = 0;
+        if (q / 6 >= 6)
+            return kCrxQStepTbl[q % 6] * (1u << (q / 6 + 26));
+        return kCrxQStepTbl[q % 6] >> (6 - q / 6);
+    };
+    tile.qsTbl.assign(levels, {});
+    tile.qsW.assign(levels, qpW);
+    tile.qsH.assign(levels, 0);
+    int qpH4 = (tileH >> 2) + ((tileH & 3) != 0);
+    int qpH8 = (tileH >> 3) + ((tileH & 7) != 0);
+    int lvlIdx = 0;
+    if (levels == 3) {
+        auto& t = tile.qsTbl[lvlIdx];
+        t.resize((size_t)qpW * qpH8);
+        tile.qsH[lvlIdx] = qpH8;
+        for (int r = 0; r < qpH8; ++r) {
+            int r0 = std::min(4 * r, qpH - 1), r1 = std::min(4 * r + 1, qpH - 1);
+            int r2 = std::min(4 * r + 2, qpH - 1),
+                r3 = std::min(4 * r + 3, qpH - 1);
+            for (int c = 0; c < qpW; ++c) {
+                int32_t q = qp[(size_t)qpW * r0 + c] + qp[(size_t)qpW * r1 + c]
+                            + qp[(size_t)qpW * r2 + c]
+                            + qp[(size_t)qpW * r3 + c];
+                q = ((q < 0) * 3 + q) >> 2;
+                t[(size_t)qpW * r + c] = stepOf(q);
+            }
+        }
+        ++lvlIdx;
+    }
+    if (levels >= 2) {
+        auto& t = tile.qsTbl[lvlIdx];
+        t.resize((size_t)qpW * qpH4);
+        tile.qsH[lvlIdx] = qpH4;
+        for (int r = 0; r < qpH4; ++r) {
+            int r0 = std::min(2 * r, qpH - 1), r1 = std::min(2 * r + 1, qpH - 1);
+            for (int c = 0; c < qpW; ++c) {
+                int32_t q = (qp[(size_t)qpW * r0 + c]
+                             + qp[(size_t)qpW * r1 + c]) / 2;
+                t[(size_t)qpW * r + c] = stepOf(q);
+            }
+        }
+        ++lvlIdx;
+    }
+    {
+        auto& t = tile.qsTbl[lvlIdx];
+        t.resize((size_t)qpW * qpH);
+        tile.qsH[lvlIdx] = qpH;
+        for (int r = 0; r < qpH; ++r)
+            for (int c = 0; c < qpW; ++c)
+                t[(size_t)qpW * r + c] = stepOf(qp[(size_t)qpW * r + c]);
+    }
+    return true;
+}
+
+// decode one lossy plane-component of one tile: all subbands, then the
+// level-by-level whole-plane synthesis (equivalent in output to the
+// reference's rolling line IDWT, crxDecodePlane levels!=0 branch), then
+// the median offset into the strided CFA output (crxConvertPlaneLine
+// nPlanes==4 case).
+static bool crx_decode_lossy_comp(const uint8_t* compData, uint64_t compAvail,
+                                  const CrxCompInfo& ci, const CrxTileInfo& ti,
+                                  int levels, int tileW, int tileH, int nBits,
+                                  uint16_t* dst, size_t dstStride,
+                                  size_t dstStep) {
+    int nb = 3 * levels + 1;
+    if ((int)ci.bands.size() != nb) return false;
+    std::vector<std::vector<int32_t>> bd(nb);
+    for (int b = 0; b < nb; ++b) {
+        const CrxBandInfo& bi = ci.bands[b];
+        if (bi.dataOff < 0 || (uint64_t)bi.dataOff + bi.dataSize > compAvail)
+            return false;
+        int level = b == 0 ? 0 : (b - 1) / 3;
+        const uint32_t* qs = nullptr;
+        int qsW = 0, qsH = 0;
+        if (level < (int)ti.qsTbl.size() && !ti.qsTbl[level].empty()) {
+            qs = ti.qsTbl[level].data();
+            qsW = ti.qsW[level];
+            qsH = ti.qsH[level];
+        }
+        bool compPartial = ci.supportsPartial && b == 0;
+        if (!crx_decode_band(compData + bi.dataOff, bi, compPartial, true,
+                             qs, qsW, qsH, bd[b]))
+            return false;
+    }
+    std::vector<int32_t> cur = std::move(bd[0]);
+    int curW = ci.bands[0].width, curH = ci.bands[0].height;
+    for (int lv = 0; lv < levels; ++lv) {
+        // intermediate synthesized planes carry the next level's subband
+        // extents (crxSetupSubbandData transformWidth/height selection)
+        int outW = (lv == levels - 1) ? tileW
+                                      : ci.bands[3 * (lv + 1) + 2].width;
+        int outH = (lv == levels - 1) ? tileH
+                                      : ci.bands[3 * (lv + 1) + 1].height;
+        const CrxBandInfo& b1 = ci.bands[3 * lv + 1];
+        const CrxBandInfo& b2 = ci.bands[3 * lv + 2];
+        const CrxBandInfo& b3 = ci.bands[3 * lv + 3];
+        std::vector<int32_t> next;
+        if (!crx_idwt_level(cur, curW, curH,
+                            bd[3 * lv + 1], b1.width, b1.height,
+                            bd[3 * lv + 2], b2.width, b2.height,
+                            bd[3 * lv + 3], b3.width, b3.height,
+                            outW, outH, ti.flags, next))
+            return false;
+        cur = std::move(next);
+        curW = outW;
+        curH = outH;
+        bd[3 * lv + 1] = {};
+        bd[3 * lv + 2] = {};
+        bd[3 * lv + 3] = {};
+    }
+    if (curW < tileW || curH < tileH) return false;
+    int32_t median = 1 << (nBits - 1), maxVal = (1 << nBits) - 1;
+    for (int y = 0; y < tileH; ++y) {
+        const int32_t* src = cur.data() + (size_t)y * curW;
+        uint16_t* d = dst + dstStride * (size_t)y;
+        for (int x = 0; x < tileW; ++x) {
+            int32_t v = median + src[x];
+            if (v < 0) v = 0;
+            if (v > maxVal) v = maxVal;
+            d[dstStep * (size_t)x] = (uint16_t)v;
+        }
+    }
+    return true;
+}
+
 struct Cr3Track {
     int type = 0;        // hdlr: 2=vide, 4=meta
     int mediaType = 0;   // 1=RAW (CMP1 parsed ok), 2=JPEG
@@ -2644,8 +3329,9 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
         }
     }
     if (!best) return nullptr;
-    // scope: lossless profile only (craw needs the wavelet path)
-    if (best->imageLevels != 0 || best->encType != 0 || best->nPlanes != 4
+    // scope: lossless (imageLevels 0) + lossy wavelet cRAW (1-3 levels);
+    // encType 1/3 (the 1- and YCC-plane preview profiles) out of scope
+    if (best->encType != 0 || best->nPlanes != 4 || best->imageLevels > 3
             || best->nBits < 9 || best->nBits > 15)
         return nullptr;
     if (best->mediaOffset + best->mediaSize > len) return nullptr;
@@ -2683,7 +3369,10 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
             base[3] = rowSize + 1; break;
     }
 
-    // walk the mdat header: FF01 tile + per plane FF02 + subband FF03
+    // walk the mdat header: FF01/FF11 tile + per plane FF02 + subband
+    // FF03/FF13 headers (crxReadImageHeaders layout)
+    const int levels = best->imageLevels;
+    const int nb = 3 * levels + 1;
     const uint8_t* hp = mdat;
     int hleft = hdrSize;
     uint64_t tileOffset = 0;
@@ -2693,11 +3382,13 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
         int sign = be16(hp), hsz = be16(hp + 2);
         if ((sign != 0xFF01 && sign != 0xFF11)
                 || (hsz != 8 && hsz != 16)) { ok = false; break; }
-        uint32_t tileSize = be32(hp + 4);
-        uint32_t qpSize = 0, extraSize = 0;
+        CrxTileInfo ti;
+        ti.tileSize = be32(hp + 4);
         if (hsz == 16) {
-            qpSize = be32(hp + 12);
-            extraSize = be16(hp + 16);
+            if (hleft < 20) { ok = false; break; }
+            ti.qpSize = be32(hp + 12);
+            ti.extraSize = be16(hp + 16);
+            ti.hasQP = true;
         }
         hp += hsz + 4;
         hleft -= hsz + 4;
@@ -2705,6 +3396,27 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
         int tRow = t / tileCols, tCol = t % tileCols;
         int thisW = (tCol == tileCols - 1) ? pw - tw * (tileCols - 1) : tw;
         int thisH = (tRow == tileRows - 1) ? ph - thh * (tileRows - 1) : thh;
+        ti.width = thisW;
+        ti.height = thisH;
+        if (tileCols > 1) {
+            if (tCol < tileCols - 1) ti.flags |= kCrxTileRight;
+            if (tCol > 0) ti.flags |= kCrxTileLeft;
+        }
+        if (tileRows > 1) {
+            if (tRow < tileRows - 1) ti.flags |= kCrxTileBottom;
+            if (tRow > 0) ti.flags |= kCrxTileTop;
+        }
+
+        // v0x200 QP map sits at the head of the tile's data region
+        if (levels > 0 && ti.hasQP && ti.qpSize > 0) {
+            uint64_t qpOff = best->mediaOffset + hdrSize + tileOffset;
+            if (qpOff + ti.qpSize > len
+                    || !crx_decode_qsteps(buf + qpOff, ti.qpSize, levels,
+                                          thisW, thisH, ti)) {
+                ok = false;
+                break;
+            }
+        }
 
         uint64_t compOffset = 0;
         for (int c = 0; c < 4 && ok; ++c) {
@@ -2713,39 +3425,84 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
             if ((sign != 0xFF02 && sign != 0xFF12) || hsz != 8) {
                 ok = false; break;
             }
-            uint32_t compSize = be32(hp + 4);
+            CrxCompInfo ci;
+            ci.compSize = be32(hp + 4);
+            ci.supportsPartial = (hp[8] & 8) != 0;
+            ci.roundedBits = (hp[8] >> 1) & 3;
             hp += 12;
             hleft -= 12;
-            // single FF03 subband header (levels==0 -> one subband)
-            if (hleft < 12) { ok = false; break; }
-            sign = be16(hp); hsz = be16(hp + 2);
-            if (sign != 0xFF03 || hsz != 8) { ok = false; break; }
-            uint32_t subbandSize = be32(hp + 4);
-            uint32_t bitData = be32(hp + 8);
-            uint32_t dataSize = subbandSize - (bitData & 0x7FFFF);
-            hp += 12;
-            hleft -= 12;
+            // roundedBits ("lossy lite") profile out of scope
+            if (ci.roundedBits) { ok = false; break; }
+
+            crx_band_geometry(levels, thisW, thisH, ti.flags, ci.bands);
+            uint64_t bandOff = 0;
+            for (int b = 0; b < nb && ok; ++b) {
+                if (hleft < 12) { ok = false; break; }
+                sign = be16(hp); hsz = be16(hp + 2);
+                CrxBandInfo& bi = ci.bands[b];
+                if (sign == 0xFF03 && hsz == 8) {
+                    uint32_t subbandSize = be32(hp + 4);
+                    uint32_t bitData = be32(hp + 8);
+                    if ((int)((hp[8] & 0xF0) >> 4) != b
+                            || (bitData & 0x7FFFF) > subbandSize) {
+                        ok = false; break;
+                    }
+                    bi.dataSize = subbandSize - (bitData & 0x7FFFF);
+                    bi.hdrPartial = (bitData & 0x8000000u) != 0;
+                    bi.qParam = (int)((bitData >> 19) & 0xFF);
+                    bi.dataOff = (int64_t)bandOff;
+                    bandOff += subbandSize;
+                    hp += 12;
+                    hleft -= 12;
+                } else if (sign == 0xFF13 && hsz == 16) {
+                    if (hleft < 20) { ok = false; break; }
+                    uint32_t subbandSize = be32(hp + 4);
+                    if ((int)((hp[8] & 0xF0) >> 4) != b
+                            || (be16(hp + 8) & 0xFFF) || be16(hp + 18)
+                            || be16(hp + 16) > subbandSize) {
+                        ok = false; break;
+                    }
+                    bi.qStepMult = be16(hp + 10);
+                    bi.qStepBase = be32(hp + 12);
+                    bi.dataSize = subbandSize - be16(hp + 16);
+                    bi.dataOff = (int64_t)bandOff;
+                    bandOff += subbandSize;
+                    hp += 20;
+                    hleft -= 20;
+                } else {
+                    ok = false; break;
+                }
+            }
+            if (!ok) break;
 
             uint64_t dataOff = best->mediaOffset + hdrSize + tileOffset
-                               + qpSize + extraSize + compOffset;
-            if (dataOff + dataSize > len) { ok = false; break; }
+                               + ti.qpSize + ti.extraSize + compOffset;
+            if (dataOff + ci.compSize > len) { ok = false; break; }
             uint16_t* dst = out + base[c]
                 + 2 * rowSize * (size_t)(tRow * (size_t)thh)
                 + 2 * (size_t)(tCol * (size_t)tw);
-            if (dataSize == 0) {
-                // empty band: zeros (median value after conversion)
-                for (int y = 0; y < thisH; ++y)
-                    for (int x = 0; x < thisW; ++x)
-                        dst[2 * rowSize * y + 2 * (size_t)x] =
-                            (uint16_t)(1 << (best->nBits - 1));
-            } else if (!crx_decode_tile_plane(
-                           buf + dataOff, dataSize, thisW, thisH,
-                           best->nBits, dst, 2 * rowSize, 2)) {
+            if (levels == 0) {
+                const CrxBandInfo& bi = ci.bands[0];
+                if (bi.dataSize == 0) {
+                    // empty band: zeros (median value after conversion)
+                    for (int y = 0; y < thisH; ++y)
+                        for (int x = 0; x < thisW; ++x)
+                            dst[2 * rowSize * y + 2 * (size_t)x] =
+                                (uint16_t)(1 << (best->nBits - 1));
+                } else if (!crx_decode_tile_plane(
+                               buf + dataOff + bi.dataOff, bi.dataSize,
+                               thisW, thisH, best->nBits, dst,
+                               2 * rowSize, 2)) {
+                    ok = false;
+                }
+            } else if (!crx_decode_lossy_comp(
+                           buf + dataOff, ci.compSize, ci, ti, levels,
+                           thisW, thisH, best->nBits, dst, 2 * rowSize, 2)) {
                 ok = false;
             }
-            compOffset += compSize;
+            compOffset += ci.compSize;
         }
-        tileOffset += tileSize;
+        tileOffset += ti.tileSize;
     }
     if (!ok) {
         if (dbg) fprintf(stderr, "cr3: tile decode failed\n");

@@ -91,3 +91,85 @@ def test_cr3_develops(tmp_path):
     out = np.asarray(process_image(load_raw(path), ProcParams()))
     assert out.shape[0] == 3
     assert float(np.mean(out)) > 0.01
+
+
+# ---------------------------------------------------------------------------
+# Lossy (wavelet cRAW profile) CRX — canon_cr3_decoder.cc subband/IDWT path
+# ---------------------------------------------------------------------------
+
+def test_cr3_lossy_roundtrip(tmp_path):
+    """3-level 5/3 wavelet + qParam quantization reconstructs exactly the
+    reference arithmetic (crxDecodeLossy* + crxIdwt53 equivalents)."""
+    from util_cr3 import write_cr3_lossy
+    m = _mosaic(64, 80)
+    path, expected = write_cr3_lossy(tmp_path / "l.cr3", m)
+    frame = load_raw(path)
+    assert frame.pattern == "RGGB"
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)
+    # lossy but close: quantization error bounded
+    assert np.abs(frame.cfa.astype(int) - m.astype(int)).mean() < 8
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3])
+def test_cr3_lossy_levels(tmp_path, levels):
+    """Each decomposition depth exercises its own band geometry
+    (CMP1 levels byte -> 3*levels+1 FF03 subband headers)."""
+    from util_cr3 import write_cr3_lossy
+    m = _mosaic(48, 64, seed=levels)
+    path, expected = write_cr3_lossy(tmp_path / f"v{levels}.cr3", m,
+                                     levels=levels)
+    frame = load_raw(path)
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+@pytest.mark.parametrize("q", [4, 6, 9, 13])
+def test_cr3_lossy_qparams(tmp_path, q):
+    """qParam sweep covers the qStep table across shift regimes
+    (q_step_tbl >> (6 - q/6) arithmetic; q<6 with scale 0 is degenerate
+    and never produced by cameras)."""
+    from util_cr3 import write_cr3_lossy
+    m = _mosaic(32, 48, seed=q)
+    path, expected = write_cr3_lossy(tmp_path / f"q{q}.cr3", m, q_param=q)
+    frame = load_raw(path)
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_cr3_lossy_no_partial(tmp_path):
+    """supportsPartial=0: the LL band uses the same no-ref coder as the
+    detail bands (crxDecodeLineNoRefPrevLine for band 0)."""
+    from util_cr3 import write_cr3_lossy
+    m = _mosaic(32, 48, seed=7)
+    path, expected = write_cr3_lossy(tmp_path / "np.cr3", m,
+                                     supports_partial=False)
+    frame = load_raw(path)
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+@pytest.mark.parametrize("layout", [0, 1, 2, 3])
+def test_cr3_lossy_cfa_layouts(tmp_path, layout):
+    from util_cr3 import write_cr3_lossy
+    m = _mosaic(32, 32, seed=layout)
+    path, expected = write_cr3_lossy(tmp_path / f"ll{layout}.cr3", m,
+                                     cfa_layout=layout)
+    frame = load_raw(path)
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_cr3_lossy_odd_plane_dims(tmp_path):
+    """Subplane dims not divisible by 2^levels stress the boundary
+    extension (rowStartAddOn/colEndAddOn band geometry)."""
+    from util_cr3 import write_cr3_lossy
+    m = _mosaic(52, 60, seed=11)  # 26x30 subplanes, 3 levels
+    path, expected = write_cr3_lossy(tmp_path / "odd.cr3", m, levels=3)
+    frame = load_raw(path)
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_cr3_lossy_flat(tmp_path):
+    """Constant mosaic: all detail bands zero -> pure run ladders in the
+    no-ref coder."""
+    from util_cr3 import write_cr3_lossy
+    m = np.full((32, 48), 2048, np.uint16)
+    path, expected = write_cr3_lossy(tmp_path / "flat.cr3", m)
+    frame = load_raw(path)
+    assert np.array_equal(frame.cfa.astype(np.uint16), expected)

@@ -1,5 +1,11 @@
 """Per-phase 24MP timings for the bench config (run on the real chip)."""
+import os
+import sys
 import time
+
+# repo root on sys.path (PYTHONPATH breaks the axon jax-plugin discovery)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 from art_tpu.core import compilecache
 
