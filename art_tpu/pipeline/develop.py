@@ -363,11 +363,27 @@ def plan(frame, pp, fast=False):
                     from art_tpu.color.iccfile import load_icc
 
                     prof = load_icc(ip)
-                    data["cam2work"] = (
-                        cs.MATRICES_XYZ_TO_RGB[icc_working]
-                        @ prof["rgb_to_xyz"]).astype(np.float32)
-                    if prof["trc"][0] != "linear":
-                        icc_input_trc = prof["trc"]
+                    if prof.get("kind") == "lut":
+                        # LUT-class camera profile: device->PCS via the
+                        # A2B pipeline, then XYZ(D50)->working matrix
+                        # (iccstore.cc lcms slow path, on device here)
+                        if prof["a2b"] is not None:
+                            from art_tpu.color.icclut import plan_lut
+
+                            stages, ldata = plan_lut(prof["a2b"],
+                                                     prof["pcs"], "in")
+                            for k, v in ldata.items():
+                                data[f"iccin:{k}"] = v
+                            data["cam2work"] = (
+                                cs.MATRICES_XYZ_TO_RGB[icc_working]
+                                .astype(np.float32))
+                            icc_input_trc = ("icclut", stages)
+                    else:
+                        data["cam2work"] = (
+                            cs.MATRICES_XYZ_TO_RGB[icc_working]
+                            @ prof["rgb_to_xyz"]).astype(np.float32)
+                        if prof["trc"][0] != "linear":
+                            icc_input_trc = prof["trc"]
                 except Exception:
                     pass
         if isinstance(ip, str) and ip.lower().endswith(".dcp"):
@@ -628,8 +644,21 @@ def plan(frame, pp, fast=False):
             from art_tpu.color.iccfile import load_icc
 
             prof = load_icc(out_prof)
-            out_mat = prof["rgb_to_xyz"]
-            out_trc = prof["trc"]
+            if prof.get("kind") == "lut":
+                # LUT-class output profile (printer/look): work -> XYZ
+                # matrix, then the B2A pipeline to device values
+                if prof["b2a"] is None:
+                    raise ValueError("LUT output profile has no B2A0")
+                from art_tpu.color.icclut import plan_lut
+
+                stages, ldata = plan_lut(prof["b2a"], prof["pcs"], "out")
+                for k, v in ldata.items():
+                    data[f"iccout:{k}"] = v
+                out_mat = np.eye(3)  # work2out becomes work -> XYZ(D50)
+                out_trc = ("icclut", stages)
+            else:
+                out_mat = prof["rgb_to_xyz"]
+                out_trc = prof["trc"]
         except Exception:
             out_prof = "sRGB"
             out_mat = cs.MATRICES_RGB_TO_XYZ["sRGB"]
@@ -932,7 +961,18 @@ def _build_run(config: PipelineConfig):
 
             rgb = apply_dcp(rgb, data, config.dcp)
         else:
-            if config.icc_input_trc is not None:
+            if (config.icc_input_trc is not None
+                    and config.icc_input_trc[0] == "icclut"):
+                # LUT-class camera ICC: device RGB -> PCS XYZ through
+                # the A2B element pipeline; cam2work is then XYZ->work
+                from art_tpu.color.icclut import apply_stages
+
+                x01 = rgb * (1.0 / MAXVAL)
+                r_, g_, b_ = apply_stages(x01[0], x01[1], x01[2],
+                                          config.icc_input_trc[1],
+                                          data, "iccin:")
+                rgb = jnp.stack([r_, g_, b_]) * MAXVAL
+            elif config.icc_input_trc is not None:
                 # camera ICC shaper curve linearizes device values
                 # before the matrix (iccfile.load_icc input profiles)
                 rgb = cs.decode_trc(rgb * (1.0 / MAXVAL),
@@ -1004,7 +1044,16 @@ def _build_run(config: PipelineConfig):
         if not fuse_tail:
             rgb = _mat3(data["work2out"], rgb)
             rgb = jnp.clip(rgb / MAXVAL, 0.0, 1.0)
-            rgb = cs.encode_trc(rgb, config.out_trc, jnp)
+            if config.out_trc[0] == "icclut":
+                # LUT-class output profile: rgb here is PCS XYZ(D50)
+                from art_tpu.color.icclut import apply_stages
+
+                r_, g_, b_ = apply_stages(rgb[0], rgb[1], rgb[2],
+                                          config.out_trc[1],
+                                          data, "iccout:")
+                rgb = jnp.clip(jnp.stack([r_, g_, b_]), 0.0, 1.0)
+            else:
+                rgb = cs.encode_trc(rgb, config.out_trc, jnp)
         if late:
             rgb = rgb[:, :h0r, :w0r]
         return rgb
