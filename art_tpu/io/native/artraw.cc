@@ -1010,6 +1010,230 @@ static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
 }
 
 // ---------------------------------------------------------------------------
+// Olympus ORF (reference decode boundary: rtengine/dcraw.cc
+// olympus_load_raw :2684; TIFF container with magic "RO"/"RS"). The
+// compressed stream codes each pixel as: 3 bits (sign + 2 low bits), a
+// unary "high" count (12 zeros = escape to an explicit (16-nbits)-bit
+// field), and nbits magnitude bits, where nbits adapts from a per-column-
+// parity carry state; the reconstructed magnitude feeds a median-style
+// gradient predictor over the pixels two back/two up. Uncompressed
+// 16-bit ORFs are plain LE u16 planes. (12-bit packed uncompressed — a
+// rarity among Olympus bodies, which default to compression — still goes
+// through the preconverter hook.)
+// ---------------------------------------------------------------------------
+
+static bool orf_decode_stream(RawBitReader& br, uint16_t* out, int width,
+                              int height) {
+    for (int row = 0; row < height; ++row) {
+        int acarry[2][3] = {{0, 0, 0}, {0, 0, 0}};
+        for (int col = 0; col < width; ++col) {
+            int* carry = acarry[col & 1];
+            int i = 2 * (carry[2] < 3);
+            int nbits = 2 + i;
+            while (((uint16_t)carry[0]) >> (nbits + i)) nbits++;
+            int sign3 = br.get(3);
+            int low = sign3 & 3;
+            int sign = (sign3 & 4) ? -1 : 0;
+            // unary high: zeros-then-one; 12 zeros (no terminator) is
+            // the escape to an explicit field (huff[0] = 0xc0c)
+            int high = 0;
+            while (high < 12 && br.get(1) == 0) high++;
+            if (high == 12)
+                high = br.get(16 - nbits) >> 1;
+            carry[0] = (high << nbits) | br.get(nbits);
+            int diff = (carry[0] ^ sign) + carry[1];
+            carry[1] = (diff * 3 + carry[1]) >> 5;
+            carry[2] = carry[0] > 16 ? 0 : carry[2] + 1;
+            int pred;
+            uint16_t* rp = out + (size_t)row * width;
+            if (row < 2 && col < 2) {
+                pred = 0;
+            } else if (row < 2) {
+                pred = rp[col - 2];
+            } else if (col < 2) {
+                pred = rp[col - 2 * width];
+            } else {
+                int w = rp[col - 2];
+                int n = rp[col - 2 * width];
+                int nw = rp[col - 2 * width - 2];
+                if ((w < nw && nw < n) || (n < nw && nw < w)) {
+                    if (abs(w - nw) > 32 || abs(n - nw) > 32)
+                        pred = w + n - nw;
+                    else
+                        pred = (w + n) >> 1;
+                } else {
+                    pred = abs(w - nw) > abs(n - nw) ? w : n;
+                }
+            }
+            int val = pred + diff * 4 + low;
+            if ((unsigned)val >> 12) return false;  // dcraw derror()
+            rp[col] = (uint16_t)val;
+        }
+    }
+    return true;
+}
+
+static uint16_t* decode_orf(const Reader& r, const std::vector<IFD>& ifds,
+                            ArtRawMeta* meta) {
+    // raw IFD: CFA photometric or the largest strip-bearing IFD
+    const IFD* raw = nullptr;
+    size_t best = 0;
+    for (auto& ifd : ifds) {
+        if (!ifd.find(273)) continue;
+        size_t area = (size_t)ifd.num(256, 0) * (size_t)ifd.num(257, 0);
+        if (ifd.num(262, 0) == 32803 || area > best) {
+            raw = &ifd;
+            best = area;
+        }
+    }
+    if (!raw) return nullptr;
+    int width = (int)raw->num(256, 0);
+    int height = (int)raw->num(257, 0);
+    if (width <= 0 || height <= 0) return nullptr;
+    const TagValue* so = raw->find(273);
+    if (!so || so->nums.empty()) return nullptr;
+    size_t off = (size_t)so->nums[0];
+    size_t nbytes = (size_t)raw->num(279, 0);
+    if (off >= r.len) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)width * height,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+    bool ok = false;
+    int bps = (int)raw->num(258, 12);
+    // compressed when the strip is smaller than an unpacked plane yet
+    // above dcraw's bytes*7 > w*h floor; a declared 12-bit depth forces
+    // the compressed path even for incompressible (oversized) streams
+    bool compressed = nbytes * 7 > (size_t)width * height
+        && (nbytes < (size_t)width * height * 2 || bps == 12);
+    if (compressed) {
+        // compressed: 7 header bytes precede the bitstream (dcraw
+        // fseek(ifp, 7, SEEK_CUR))
+        if (off + 7 < r.len) {
+            RawBitReader br(r.buf + off + 7, r.buf + r.len);
+            ok = orf_decode_stream(br, out, width, height);
+        }
+    } else if (nbytes >= (size_t)width * height * 2
+               && off + (size_t)width * height * 2 <= r.len) {
+        // uncompressed 16-bit plane
+        for (size_t i = 0; i < (size_t)width * height; ++i)
+            out[i] = r.u16(off + 2 * i);
+        ok = true;
+    }
+    if (!ok) { free(out); return nullptr; }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    meta->orientation = (int)ifds[0].num(274, 1);
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    // Olympus Bayer bodies are RGGB unless the raw IFD says otherwise
+    const TagValue* cfa = raw->find(33422);
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] =
+            (cfa && cfa->nums.size() >= 4) ? (int)cfa->nums[i] : rggb[i];
+    for (int i = 0; i < 4; ++i) meta->black[i] = 0.0;
+    for (int i = 0; i < 4; ++i) meta->white[i] = 4095.0;
+
+    // MakerNote: new-style "OLYMPUS\0II" (offsets relative to the note
+    // base) or old-style "OLYMP\0" (offsets file-absolute). WB/black live
+    // in the 0x2040 ImageProcessing sub-IFD (tags 0x100/0x600) new-style,
+    // or directly as 0x1017/0x1018/0x1012 old-style
+    // (dcraw parse_makernote :5812-5832).
+    const TagValue* mn = nullptr;
+    for (auto& ifd : ifds) {
+        const TagValue* v = ifd.find(0x927C);
+        if (v && v->off) { mn = v; break; }
+    }
+    double wb_r = 0, wb_b = 0;
+    double cbl[4] = {0, 0, 0, 0};
+    bool have_cbl = false;
+    if (mn && mn->off + 12 < r.len) {
+        const uint8_t* d = r.buf + mn->off;
+        IFD oifd;
+        size_t obase = 0;
+        bool have = false;
+        if (memcmp(d, "OLYMPUS", 7) == 0 && d[7] == 0) {
+            Reader nr{r.buf + mn->off, r.len - mn->off, d[8] == 'I'};
+            std::vector<uint32_t> subs;
+            parse_ifd(nr, 12, oifd, subs, 3);
+            obase = mn->off;
+            have = true;
+        } else if (memcmp(d, "OLYMP", 5) == 0 && d[5] == 0) {
+            std::vector<uint32_t> subs;
+            parse_ifd(r, mn->off + 8, oifd, subs, 3);
+            obase = 0;
+            have = true;
+        }
+        if (have) {
+            const TagValue* ip = oifd.find(0x2040);
+            if (ip && !ip->nums.empty()) {
+                size_t ipoff = obase + (size_t)ip->nums[0];
+                if (ipoff + 2 < r.len) {
+                    Reader nr{r.buf, r.len, r.little};
+                    IFD pifd;
+                    std::vector<uint32_t> subs;
+                    // new-style sub-IFD offsets are note-relative too
+                    if (obase) {
+                        Reader sub{r.buf + obase, r.len - obase,
+                                   r.little};
+                        parse_ifd(sub, ipoff - obase, pifd, subs, 3);
+                    } else {
+                        parse_ifd(nr, ipoff, pifd, subs, 3);
+                    }
+                    const TagValue* wbt = pifd.find(0x0100);
+                    if (wbt && wbt->nums.size() >= 2) {
+                        wb_r = wbt->nums[0] / 256.0;
+                        wb_b = wbt->nums[1] / 256.0;
+                    }
+                    const TagValue* blt = pifd.find(0x0600);
+                    if (blt && blt->nums.size() >= 4) {
+                        for (int i = 0; i < 4; ++i)
+                            cbl[i] = blt->nums[i];
+                        have_cbl = true;
+                    }
+                }
+            }
+            const TagValue* rt = oifd.find(0x1017);
+            if (rt && !rt->nums.empty()) wb_r = rt->nums[0] / 256.0;
+            const TagValue* bt = oifd.find(0x1018);
+            if (bt && !bt->nums.empty()) wb_b = bt->nums[0] / 256.0;
+            const TagValue* kt = oifd.find(0x1012);
+            if (kt && kt->nums.size() >= 4) {
+                for (int i = 0; i < 4; ++i) cbl[i] = kt->nums[i];
+                have_cbl = true;
+            }
+        }
+    }
+    if (have_cbl) {
+        // stored order is color-indexed via c ^ (c >> 1): [R, G1, B, G2]
+        bool first_g = true;
+        for (int i = 0; i < 4; ++i) {
+            int c = meta->cfa_pattern[i];
+            if (c == 1) {
+                meta->black[i] = first_g ? cbl[1] : cbl[3];
+                first_g = false;
+            } else {
+                meta->black[i] = cbl[c == 0 ? 0 : 2];
+            }
+        }
+    }
+    if (wb_r > 0 && wb_b > 0) {
+        meta->as_shot_neutral[0] = 1.0 / wb_r;
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = 1.0 / wb_b;
+    }
+    const TagValue* mk = ifds[0].find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifds[0].find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // Pentax PEF (reference decode boundary: rtengine/dcraw.cc Pentax branch,
 // rawimage.cc loadRaw; fresh implementation from the public PEF format
 // description). The raw IFD uses compression 65535; pixels are coded as a
@@ -3593,7 +3817,9 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     else
         return nullptr;
     uint16_t magic = r.u16(2);
-    if (magic != 42 && magic != 85) return nullptr;  // 85 = Panasonic RW2
+    // 85 = Panasonic RW2; 0x4F52/0x5352 ("RO"/"RS") = Olympus ORF
+    if (magic != 42 && magic != 85 && magic != 0x4F52 && magic != 0x5352)
+        return nullptr;
 
     // walk all IFDs (main chain + SubIFDs)
     std::vector<IFD> ifds;
@@ -3622,6 +3848,10 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     // Panasonic RW2: TIFF magic 85
     if (magic == 85)
         return decode_rw2(r, ifds, meta);
+
+    // Olympus ORF: TIFF magic "RO"/"RS"
+    if (magic == 0x4F52 || magic == 0x5352)
+        return decode_orf(r, ifds, meta);
 
     // Canon CR2: TIFF with "CR" magic at offset 8
     if (len > 10 && buf[8] == 'C' && buf[9] == 'R')
