@@ -161,15 +161,21 @@ def lj92_encode(img: np.ndarray, precision=16, predictor=1) -> bytes:
 def write_dng(path, mosaic: np.ndarray, pattern="RGGB", black=0.0,
               white=None, cam_mul=None, cam_xyz=None, compress=True,
               make="ART-TPU", model="Synthetic", iso=100,
-              baseline_exposure=0.0, preview_rgb01=None, gain_maps=None):
-    """Write a Bayer mosaic (H, W) uint16 as a DNG file."""
+              baseline_exposure=0.0, preview_rgb01=None, gain_maps=None,
+              payload=None):
+    """Write a Bayer mosaic (H, W) uint16 as a DNG file.
+
+    payload: strip byte override (hand-built LJ92 vectors in tests);
+    mosaic still defines dimensions and metadata."""
     mosaic = np.asarray(mosaic)
     assert mosaic.dtype == np.uint16 and mosaic.ndim == 2
     h, w = mosaic.shape
     if white is None:
         white = int(mosaic.max())
 
-    if compress:
+    if payload is not None:
+        compression = 7 if compress else 1
+    elif compress:
         payload = lj92_encode(mosaic)
         compression = 7
     else:

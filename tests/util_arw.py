@@ -94,12 +94,14 @@ def encode_arw2_plane(pix):
 def write_arw2(path, pix, knots=DEFAULT_KNOTS, wb_rggb=(2100, 1024, 1024,
                                                         1800),
                make="SONY", model="TEST-1", iso=100,
-               cfa=(0, 1, 1, 2)):
+               cfa=(0, 1, 1, 2), payload=None):
     """Write a minimal ARW2 file: IFD0 is the raw IFD (compression 32767)
     plus the Sony curve/WB tags. Returns the expected decoded u16 image
-    (curve[pix << 1])."""
+    (curve[pix << 1]). payload: raw block-stream override (hand-built
+    vectors); pix still defines the dimensions/expected values."""
     h, w = pix.shape
-    payload = encode_arw2_plane(pix)
+    if payload is None:
+        payload = encode_arw2_plane(pix)
     assert len(payload) == h * w
 
     entries = []
