@@ -38,6 +38,8 @@ def _usage():
         "  --devices N  shard batch over N devices\n"
         "  --make-icc -p <preset> -d <desc> -o <file>  generate an ICC\n"
         "  --check-lut <file>  validate a LUT file loads\n"
+        "  --gamut-warn <profile>  paint out-of-gamut pixels cyan\n"
+        "               (soft-proof vs a preset name or matrix .icc)\n"
     )
 
 
@@ -57,6 +59,7 @@ def parse_args(argv):
         "devices": 0,
         "bench": False,
         "progress": False,
+        "gamut_warn": None,
     }
     i = 0
     while i < len(argv):
@@ -102,6 +105,9 @@ def parse_args(argv):
             opts["bench"] = True
         elif a == "--progress":
             opts["progress"] = True
+        elif a == "--gamut-warn":
+            opts["gamut_warn"] = argv[i + 1]
+            i += 1
         elif a == "-V":
             from art_tpu.settings import settings as _settings
 
@@ -284,7 +290,8 @@ def main(argv=None):
             t0 = time.time()
             process_image(inp, pp, fast=opts["fast"], output_path=outp,
                           bits=bits, quality=opts["quality"],
-                          uncompressed=opts.get("tiff_uncompressed", False))
+                          uncompressed=opts.get("tiff_uncompressed", False),
+                          gamut_warn=opts.get("gamut_warn"))
             dt = time.time() - t0
             done += 1
             _progress(done * 100.0 / n_files)

@@ -79,3 +79,53 @@ def mark_gamut(rgb_encoded01, mask, xp=None):
                      xp.ones_like(rgb_encoded01[0]),
                      xp.ones_like(rgb_encoded01[0])])
     return rgb_encoded01 * (1.0 - m) + cyan * m
+
+
+def _resolve_profile(name_or_path):
+    """Profile spec (preset name or matrix .icc path) -> (rgb_to_xyz,
+    trc). LUT-class .icc files raise ValueError (use the Lab branch)."""
+    import os
+
+    from art_tpu.color.iccstore import get_instance
+
+    if isinstance(name_or_path, str) \
+            and name_or_path.lower().endswith((".icc", ".icm")) \
+            and os.path.isfile(name_or_path):
+        from art_tpu.color.iccfile import load_icc
+
+        prof = load_icc(name_or_path)
+        if prof.get("kind") == "lut":
+            raise ValueError("LUT-class proof profiles need the Lab "
+                             "branch (gamut_warning_mask_lab)")
+        return np.asarray(prof["rgb_to_xyz"], np.float32), prof["trc"]
+    info = get_instance().output_profile(name_or_path)
+    return np.asarray(info.matrix, np.float32), info.trc
+
+
+def paint_gamut_warning(out_encoded01, output_profile, proof_profile):
+    """Mark pixels of a developed image that fall outside a proof
+    profile's gamut (the ART soft-proof preview overlay as a batch
+    output: decode the output TRC, run the matrix proof round trip, and
+    paint the mask cyan).
+
+    out_encoded01: (3, H, W) encoded output in [0,1] (numpy or jnp);
+    output_profile / proof_profile: preset name or matrix .icc path.
+    """
+    xp = _as_xp(out_encoded01)
+    out_mat, out_trc = _resolve_profile(output_profile)
+    proof_mat, _ = _resolve_profile(proof_profile)
+    lin = cs.decode_trc(out_encoded01, out_trc, xp)
+    # linear output RGB -> XYZ -> proof round trip
+    c, h, w = out_encoded01.shape
+    xyz = xp.asarray(out_mat) @ lin.reshape(3, -1)
+    m_proof_from_xyz = np.linalg.inv(proof_mat).astype(np.float32)
+    aces = cs.xyz_to_rgb_matrix(
+        "ACESp0" if "ACESp0" in cs.MATRICES_RGB_TO_XYZ else "ProPhoto"
+    ).astype(np.float32)
+    proof = xp.asarray(m_proof_from_xyz) @ xyz
+    clipped = xp.clip(proof, 0.0, 1.0)
+    ref_round = xp.asarray(aces @ proof_mat) @ clipped
+    ref_direct = xp.asarray(aces) @ xyz
+    delta = xp.max(xp.abs(ref_round - ref_direct), axis=0)
+    mask = (delta > _DELTA_MATRIX).reshape(h, w)
+    return mark_gamut(out_encoded01, mask, xp), mask

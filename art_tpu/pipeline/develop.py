@@ -1078,8 +1078,13 @@ def develop(frame, pp, fast=False):
 
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,
-                  bits=8, quality=92, uncompressed=False):
+                  bits=8, quality=92, uncompressed=False,
+                  gamut_warn=None):
     """processImage equivalent (rtengine.h:604, simpleprocess.cc:580).
+
+    gamut_warn: optional proof profile (preset name or matrix .icc
+    path); pixels outside its gamut are painted cyan in the result
+    (the soft-proof gamut warning of gamutwarning.cc as batch output).
 
     With settings.verbose, per-phase wall-clock timings print to stdout
     (the reference's `-V` instrumentation, rawimagesource.cc:1470,
@@ -1104,6 +1109,13 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
     t = _tick("decode", t)
     out = develop(frame, pp, fast=fast)
     t = _tick("develop (plan+device+readback)", t)
+    if gamut_warn:
+        from art_tpu.color.gamutwarning import paint_gamut_warning
+
+        out, _ = paint_gamut_warning(
+            out, _resolve_output_profile(pp.icm.output_profile),
+            gamut_warn)
+        t = _tick("gamut warning", t)
     if output_path is not None:
         from art_tpu.io.imagefile import save_image
 

@@ -521,3 +521,40 @@ def test_transform_autofill_removes_black_corners():
     filled = develop(fr, pp)
     assert plain[:, :4, :4].mean() < 0.05
     assert filled[:, :4, :4].mean() > 0.2
+
+
+def test_gamut_warn_cli_surface(tmp_path):
+    """--gamut-warn paints out-of-proof-gamut pixels cyan in the saved
+    output (gamutwarning.cc mark color (0,255,255) as a batch op)."""
+    import numpy as np
+
+    from art_tpu.cli import main as cli_main
+    from art_tpu.io.dngwrite import write_dng
+
+    # flat saturated-red patch (noise scenes demosaic to near-gray and
+    # stay in every gamut) shot on a camera whose primaries ARE ProPhoto
+    # (cam_xyz = XYZ->ProPhoto): deep ProPhoto red sits far outside sRGB
+    from art_tpu.color import colorspaces as cs
+
+    m = np.zeros((64, 96), np.uint16)
+    m[0::2, 0::2] = 15500   # R
+    m[0::2, 1::2] = 1400    # G
+    m[1::2, 0::2] = 1400    # G
+    m[1::2, 1::2] = 1100    # B
+    m += 500
+    raw = tmp_path / "g.dng"
+    cam_xyz = np.linalg.inv(cs.rgb_to_xyz_matrix("ProPhoto"))
+    write_dng(raw, m, black=500, white=16500, cam_xyz=cam_xyz)
+    # wide (ProPhoto) output proofed against sRGB: saturated pixels
+    # fall outside the proof gamut
+    arp = tmp_path / "wide.arp"
+    arp.write_text("[Color Management]\nOutputProfile=RTv4_Large\n")
+    out = tmp_path / "g.png"
+    rc = cli_main(["-o", str(out), "-n", "-Y", "--gamut-warn", "sRGB",
+                   "-p", str(arp), "-c", str(raw)])
+    assert rc == 0 and out.exists()
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    cyan = (img[..., 0] < 8) & (img[..., 1] > 247) & (img[..., 2] > 247)
+    assert cyan.any()
