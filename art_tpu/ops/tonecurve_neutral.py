@@ -384,7 +384,7 @@ def _pick_tx(w, ty):
 def _run_neutral_pallas(rgb, params, coeffs, cshape, epi=None,
                         interpret=False):
     _, h, w = rgb.shape
-    ty = _pick_tile(h, (256, 128))
+    ty = _pick_tile(h, (128, 256))
     tx = _pick_tx(w, ty)
     grid = (h // ty, w // tx)
     return pl.pallas_call(
@@ -417,7 +417,7 @@ def apply_neutral(rgb, data, static):
     seg = coeffs.ndim == 2 and coeffs.shape[0] not in (1, 2)
     if not seg and rgb.ndim == 3:
         _, h, w = rgb.shape
-        ty = _pick_tile(h, (256, 128))
+        ty = _pick_tile(h, (128, 256))
         if ty and _pick_tx(w, ty):
             interpret = jax.default_backend() not in ("tpu", "axon")
             cshape = ((1, int(coeffs.shape[0])) if coeffs.ndim == 1
