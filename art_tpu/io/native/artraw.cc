@@ -1404,6 +1404,305 @@ static uint16_t* decode_pef(const Reader& r, const std::vector<IFD>& ifds,
 }
 
 // ---------------------------------------------------------------------------
+// Samsung SRW (reference decode boundary: rtengine/dcraw.cc
+// samsung_load_raw :3441, samsung2_load_raw :3473, samsung3_load_raw
+// :3495; TIFF container whose raw IFD carries compression 32770/32772/
+// 32773 and, for the v0 stream, a row-offset-table pointer in tag
+// 40976). The three bitstream models are undocumented outside the dcraw
+// decoder lineage, so the opcode/predictor semantics are DERIVED from
+// that published behavior (honest provenance, as with CRX); the code is
+// structured on this repo's Reader/bit-reader idiom.
+// ---------------------------------------------------------------------------
+
+// MSB-first bit reader over little-endian 32-bit words (the "ph1 bits"
+// source Samsung streams use: pull a LE u32, consume its bits high
+// first). `p` advances in whole words, so `p - start` is the file-
+// position delta dcraw's ftell would report.
+struct WordBitReader {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint64_t bitbuf = 0;
+    int vbits = 0;
+
+    WordBitReader(const uint8_t* s, const uint8_t* e) : p(s), end(e) {}
+    uint32_t get(int nbits) {
+        if (nbits <= 0) return 0;
+        if (vbits < nbits) {
+            uint32_t w = 0;
+            for (int i = 0; i < 4; ++i)
+                w |= (uint32_t)(p < end ? *p++ : 0) << (8 * i);
+            bitbuf = bitbuf << 32 | w;
+            vbits += 32;
+        }
+        uint32_t c = (uint32_t)(bitbuf << (64 - vbits) >> (64 - nbits));
+        vbits -= nbits;
+        return c;
+    }
+};
+
+// v0 (compression 32770, NX10-generation): per-row bitstreams located by
+// a u32 offset table; 16-pixel blocks headed by a direction bit and four
+// 2-bit code-length opcodes (3 = explicit 4-bit reload, 2 = decrement,
+// 1 = increment); pixels are coded as sign-extended len-bit deltas from
+// the previous block's last even/odd pixel (horizontal) or from one/two
+// rows up (vertical), even pixels first; the stored rows interleave the
+// CFA, undone by a final pairwise swap.
+static bool srw_decode_v0(const Reader& r, size_t table_off,
+                          size_t data_off, uint16_t* out, int width,
+                          int height) {
+    for (int row = 0; row < height; ++row) {
+        if (table_off + 4 * (size_t)row + 4 > r.len) return false;
+        size_t roff = data_off + r.u32(table_off + 4 * (size_t)row);
+        if (roff >= r.len) return false;
+        WordBitReader br(r.buf + roff, r.buf + r.len);
+        int len[4];
+        for (int c = 0; c < 4; ++c) len[c] = row < 2 ? 7 : 4;
+        uint16_t* rp = out + (size_t)row * width;
+        for (int col = 0; col + 15 < width; col += 16) {
+            int dir = (int)br.get(1);
+            for (int c = 0; c < 4; ++c) {
+                int op = (int)br.get(2);
+                if (op == 3) len[c] = (int)br.get(4);
+                else if (op == 2) len[c]--;
+                else if (op == 1) len[c]++;
+                if (len[c] < 0 || len[c] > 16) return false;
+            }
+            for (int pass = 0; pass < 2; ++pass) {
+                for (int c = pass; c < 16; c += 2) {
+                    int nb = len[((c & 1) << 1) | (c >> 3)];
+                    int32_t diff = (int32_t)br.get(nb);
+                    if (nb)
+                        diff = (int32_t)((uint32_t)diff << (32 - nb))
+                               >> (32 - nb);
+                    int pred;
+                    if (dir) {
+                        int dy = (c & 1) ? 2 : 1;   // odd pixels: 2 up
+                        if (row < dy) return false;
+                        pred = rp[(long)(col + c) - (long)dy * width];
+                    } else if (col) {
+                        pred = rp[col - 2 + (c & 1)];
+                    } else {
+                        pred = 128;
+                    }
+                    rp[col + c] = (uint16_t)(pred + diff);
+                }
+            }
+        }
+    }
+    // un-interleave the stored CFA rows back to the sensor layout
+    for (int row = 0; row + 1 < height; row += 2)
+        for (int col = 0; col + 1 < width; col += 2)
+            std::swap(out[(size_t)row * width + col + 1],
+                      out[(size_t)(row + 1) * width + col]);
+    return true;
+}
+
+// v2 (compression 32772): one fixed huffman table of diff categories
+// over an MSB-first byte stream, NEF-style two-seed vertical predictors
+// in the first two columns then horizontal accumulation by parity.
+static bool srw_decode_v2(const Reader& r, size_t off, uint16_t* out,
+                          int width, int height, int bps) {
+    // (code length << 8) | category pairs, expanded into a 10-bit LUT in
+    // listed order (canonical prefix codes)
+    static const uint16_t tab[14] = {
+        0x304, 0x307, 0x206, 0x205, 0x403, 0x600, 0x709,
+        0x80a, 0x90b, 0xa0c, 0xa0d, 0x501, 0x408, 0x402};
+    uint8_t lut_len[1024], lut_cat[1024];
+    int n = 0;
+    for (int i = 0; i < 14; ++i) {
+        int span = 1024 >> (tab[i] >> 8);
+        for (int j = 0; j < span && n < 1024; ++j, ++n) {
+            lut_len[n] = (uint8_t)(tab[i] >> 8);
+            lut_cat[n] = (uint8_t)(tab[i] & 0xff);
+        }
+    }
+    RawBitReader br(r.buf + off, r.buf + r.len);
+    int vpred[2][2] = {{0, 0}, {0, 0}};
+    int hpred[2] = {0, 0};
+    for (int row = 0; row < height; ++row) {
+        for (int col = 0; col < width; ++col) {
+            int w10 = br.peek(10);
+            br.skip(lut_len[w10]);
+            int cat = lut_cat[w10];
+            int diff = 0;
+            if (cat > 0) {
+                diff = br.get(cat);
+                if ((diff & (1 << (cat - 1))) == 0)
+                    diff -= (1 << cat) - 1;
+            }
+            int val;
+            if (col < 2)
+                val = hpred[col] = (vpred[row & 1][col] += diff);
+            else
+                val = (hpred[col & 1] += diff);
+            if ((unsigned)val >> bps) return false;
+            out[(size_t)row * width + col] = (uint16_t)val;
+        }
+    }
+    return true;
+}
+
+// v3 (compression 32773, NX1/NX500): a 14-byte header carries an option
+// byte and the row-0 seed; rows restart on 16-byte-aligned stream
+// positions. Blocks of 16 pixels share a quantization magnitude `mag`
+// (nudged by 2-bit codes or reloaded from 12 bits), a predictor mode
+// (7 = horizontal-from-previous-block, 0-6 = an averaged pair from the
+// green row above / same-color row two up at mode-dependent lateral
+// offsets) and four adaptive code lengths chained per channel parity.
+static bool srw_decode_v3(const Reader& r, size_t data_off, uint16_t* out,
+                          int width, int height) {
+    if (data_off + 16 > r.len) return false;
+    int opt = r.buf[data_off + 9];
+    int init = (int)r.u16(data_off + 12);
+    static const int off1[7] = {-4, -2, -2, 0, 0, 2, 4};
+    static const int off2[7] = {-4, -2, 0, 0, 2, 2, 4};
+    static const int ladj[3] = {0, 1, -1};
+    size_t pos = data_off + 14;
+    for (int row = 0; row < height; ++row) {
+        pos += (data_off - pos) & 15;   // align vs the stream base
+        if (pos >= r.len) return false;
+        WordBitReader br(r.buf + pos, r.buf + r.len);
+        const uint8_t* row_start = r.buf + pos;
+        int mag = 0, pmode = 7;
+        int lent[3][2];
+        for (int i = 0; i < 3; ++i)
+            lent[i][0] = lent[i][1] = row < 2 ? 7 : 4;
+        int len[4] = {0, 0, 0, 0};
+        uint16_t* rp = out + (size_t)row * width;
+        // predictor row bases: green neighbours one row up (shifted to
+        // the opposite column parity), same-colour two rows up
+        long gbase = (long)(row - 1) * width + (1 - ((row & 1) << 1));
+        long sbase = (long)(row - 2) * width;
+        for (int tab2 = 0; tab2 + 15 < width; tab2 += 16) {
+            if (!(opt & 4) && !(tab2 & 63)) {
+                int i = (int)br.get(2);
+                mag = i == 0 ? mag : i == 1 ? mag - 2
+                    : i == 2 ? mag + 2 : (int)br.get(12);
+            }
+            if (opt & 2)
+                pmode = 7 - 4 * (int)br.get(1);
+            else if (!br.get(1))
+                pmode = (int)br.get(3);
+            if ((opt & 1) || !br.get(1)) {
+                for (int c = 0; c < 4; ++c) len[c] = (int)br.get(2);
+                for (int c = 0; c < 4; ++c) {
+                    int i = (((row & 1) << 1) | (c & 1)) % 3;
+                    len[c] = len[c] < 3 ? lent[i][0] + ladj[len[c]]
+                                        : (int)br.get(4);
+                    if (len[c] < 0 || len[c] > 16) return false;
+                    lent[i][0] = lent[i][1];
+                    lent[i][1] = len[c];
+                }
+            }
+            for (int c = 0; c < 16; ++c) {
+                int col = tab2 + ((((c & 7) << 1) ^ (c >> 3)) ^ (row & 1));
+                int pred;
+                if (pmode == 7 || row < 2) {
+                    pred = tab2 ? rp[tab2 - 2 + (col & 1)] : init;
+                } else {
+                    long base = ((col & 1) == (row & 1)) ? gbase : sbase;
+                    long i1 = base + col + off1[pmode];
+                    long i2 = base + col + off2[pmode];
+                    if (i1 < 0) i1 = 0;
+                    if (i2 < 0) i2 = 0;
+                    pred = ((int)out[i1] + (int)out[i2] + 1) >> 1;
+                }
+                int nb = len[c >> 2];
+                int diff = (int)br.get(nb);
+                if (nb && (diff >> (nb - 1))) diff -= 1 << nb;
+                diff = diff * (mag * 2 + 1) + mag;
+                rp[col] = (uint16_t)(pred + diff);
+            }
+        }
+        pos += (size_t)(br.p - row_start);
+    }
+    return true;
+}
+
+static uint16_t* decode_srw(const Reader& r, const std::vector<IFD>& ifds,
+                            const IFD* raw, ArtRawMeta* meta) {
+    int width = (int)raw->num(256, 0);
+    int height = (int)raw->num(257, 0);
+    int bps = (int)raw->num(258, 12);
+    int comp = (int)raw->num(259, 0);
+    if (width <= 0 || height <= 0 || width > 65535 || height > 65535)
+        return nullptr;
+    const TagValue* so = raw->find(273);
+    if (!so || so->nums.empty()) return nullptr;
+    size_t data_off = (size_t)so->nums[0];
+    if (data_off >= r.len) return nullptr;
+
+    uint16_t* out = (uint16_t*)calloc((size_t)width * height,
+                                      sizeof(uint16_t));
+    if (!out) return nullptr;
+    bool ok = false;
+    if (comp == 32770) {
+        size_t table_off = (size_t)raw->num(40976, 0);
+        ok = table_off && srw_decode_v0(r, table_off, data_off, out,
+                                        width, height);
+    } else if (comp == 32772) {
+        ok = srw_decode_v2(r, data_off, out, width, height, bps);
+    } else if (comp == 32773) {
+        ok = srw_decode_v3(r, data_off, out, width, height);
+    }
+    if (!ok) { free(out); return nullptr; }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    meta->orientation = (int)ifds[0].num(274, 1);
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    const TagValue* cfa = raw->find(33422);
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] =
+            (cfa && cfa->nums.size() >= 4) ? (int)cfa->nums[i] : rggb[i];
+    for (int i = 0; i < 4; ++i) meta->black[i] = 0.0;
+    for (int i = 0; i < 4; ++i) meta->white[i] = (1 << bps) - 1;
+    // Samsung MakerNote: a bare IFD at the note offset whose value
+    // offsets are relative to the note start; 0xa021 = WB RGGB levels
+    // stored R,G1,G2,B, 0xa028 = per-channel offsets to subtract
+    const TagValue* mn = nullptr;
+    for (auto& ifd : ifds) {
+        const TagValue* v = ifd.find(0x927C);
+        if (v && v->off) { mn = v; break; }
+    }
+    if (mn && mn->off + 2 < r.len) {
+        Reader nr{r.buf + mn->off, r.len - mn->off, r.little};
+        IFD sifd;
+        std::vector<uint32_t> subs;
+        parse_ifd(nr, 0, sifd, subs, 3);
+        const TagValue* wb = sifd.find(0xa021);
+        const TagValue* sub = sifd.find(0xa028);
+        if (wb && wb->nums.size() >= 4) {
+            double lv[4];
+            for (int i = 0; i < 4; ++i) {
+                lv[i] = wb->nums[i];
+                if (sub && sub->nums.size() >= 4) lv[i] -= sub->nums[i];
+            }
+            if (lv[0] > 0 && lv[3] > 0) {
+                double g = 0.5 * (lv[1] + lv[2]);
+                meta->as_shot_neutral[0] = g / lv[0];
+                meta->as_shot_neutral[1] = 1.0;
+                meta->as_shot_neutral[2] = g / lv[3];
+            }
+        }
+    }
+    meta->iso = 100.0;
+    for (auto& ifd : ifds) {
+        const TagValue* iso = ifd.find(34855);
+        if (iso && !iso->nums.empty()) { meta->iso = iso->nums[0]; break; }
+    }
+    const TagValue* mk = ifds[0].find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifds[0].find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
+// ---------------------------------------------------------------------------
 // Panasonic RW2 (reference decode boundary: rtengine/panasonic_decoders.cc
 // + dcraw.cc RW2 tag block; fresh implementation from the public RW2
 // format descriptions). Scope: the legacy predictive bitstream, v5
@@ -3867,6 +4166,13 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     for (auto& ifd : ifds) {
         if ((int)ifd.num(259, 0) == 65535)
             return decode_pef(r, ifds, meta);
+    }
+
+    // Samsung SRW: compression-32770/32772/32773 raw IFD
+    for (auto& ifd : ifds) {
+        int comp = (int)ifd.num(259, 0);
+        if (comp == 32770 || comp == 32772 || comp == 32773)
+            return decode_srw(r, ifds, &ifd, meta);
     }
 
     // Sony ARW: compression-32767 raw IFD (ARW2 cRAW), or an

@@ -83,7 +83,7 @@ def check_wavelet():
     _finite(out[:, ::512, ::512], "wavelet_pallas_multi")
     gf, gi = fit_gamma_split(1.7)
     out = wavelet_denoise_pallas_rgb(
-        x3 * 65535.0, (0.3, 0.6, 0.1), 0.0, gf, gi,
+        x3 * 65535.0, (0.3, 0.6, 0.1), 1.0, gf, gi,
         [-1.0, 0.02, 0.02], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0])
     assert out is not None
     _finite(out[:, ::512, ::512], "wavelet_pallas_rgb(fused, MAD)")
