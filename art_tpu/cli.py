@@ -52,7 +52,7 @@ def parse_args(argv):
         "profiles": [],
         "use_default": False,
         "format": None,
-        "quality": 92,
+        "quality": None,  # None -> Options tier default (92)
         "bits": None,
         "overwrite": False,
         "fast": False,
@@ -123,23 +123,37 @@ def compose_params(path, opts) -> ProcParams:
     """Profile composition (main-cli.cc:679-846 / ART.1:60-70)."""
     pp = ProcParams()
     if opts.get("use_default"):
-        # -d: default raw profile + dynamic profile rules (profilestore);
-        # rule matching only needs the EXIF header, not a full decode
-        import types
+        # -d: the Options-tier default profile (Profiles/RawDefault —
+        # "Dynamic" runs the dynamic profile rules, a name resolves in
+        # the profile store, "Neutral" is the built-in default); rule
+        # matching only needs the EXIF header, not a full decode
+        from art_tpu.io.rawfile import is_raw_file
+        from art_tpu.options import get_options
 
-        from art_tpu.io.metadata import harvest
-        from art_tpu.profiles import default_params_for
+        o = get_options()
+        defprof = o.def_prof_raw if is_raw_file(path) else o.def_prof_img
+        if defprof == "Dynamic":
+            import types
 
-        try:
-            tags, _ = harvest(path)
-        except Exception:
-            tags = {}
-        iso = tags.get("iso")
-        shim = types.SimpleNamespace(
-            iso=iso[0] if isinstance(iso, tuple) else iso,
-            exif=tags, make=tags.get("make", ""),
-            model=tags.get("model", ""))
-        pp = default_params_for(shim)
+            from art_tpu.io.metadata import harvest
+            from art_tpu.profiles import default_params_for
+
+            try:
+                tags, _ = harvest(path)
+            except Exception:
+                tags = {}
+            iso = tags.get("iso")
+            shim = types.SimpleNamespace(
+                iso=iso[0] if isinstance(iso, tuple) else iso,
+                exif=tags, make=tags.get("make", ""),
+                model=tags.get("model", ""))
+            pp = default_params_for(shim)
+        elif defprof not in ("Neutral", ""):
+            from art_tpu.profiles import get_store as _gs
+
+            resolved = _gs().resolve(defprof)
+            if resolved:
+                pp.update_from_keyfile(KeyFile.load(resolved))
     from art_tpu.profiles import get_store
 
     store = get_store()
@@ -152,7 +166,30 @@ def compose_params(path, opts) -> ProcParams:
             pp.update_from_keyfile(KeyFile.load(sidecar))
         elif opts["sidecar"] == "require":
             return None
+    if opts.get("fast"):
+        _adjust_fast_params(pp)
     return pp
+
+
+def _adjust_fast_params(pp):
+    """-q fast export: force-enable resize bounded by the Options-tier
+    fast-export dimensions (fastexport.cc adjust_fast_params)."""
+    from art_tpu.options import get_options
+
+    o = get_options()
+    pp.resize.unit = "px"
+    if pp.resize.enabled:
+        pp.resize.width = min(pp.resize.width, o.fast_export_resize_width)
+        pp.resize.height = min(pp.resize.height,
+                               o.fast_export_resize_height)
+    else:
+        pp.resize.width = o.fast_export_resize_width
+        pp.resize.height = o.fast_export_resize_height
+    pp.resize.enabled = True
+    pp.resize.scale = 1.0
+    pp.resize.applies_to = "Cropped area"
+    pp.resize.data_specified = 3
+    pp.resize.allow_upscaling = False
 
 
 def output_path_for(inp, opts):
@@ -239,7 +276,25 @@ def main(argv=None):
 
     import art_tpu
 
+    # the reference CLI is AOT-compiled C++; our equivalent of "no
+    # compile cost on relaunch" is the persistent XLA compile cache
+    from art_tpu.core import compilecache
+
+    compilecache.enable()
     art_tpu.init()
+    # Options tier (rtgui/options.cc KeyFile): CLI flags win; the app
+    # options fill defaults the way main-cli.cc's globals do
+    from art_tpu.options import load_options
+
+    app_opts = load_options()
+    if opts["format"] is None and app_opts.format in ("jpg", "png", "tif"):
+        opts["format"] = app_opts.format
+    if opts["quality"] is None:
+        opts["quality"] = app_opts.jpeg_quality
+    if opts["bits"] is None and opts["format"] == "tif":
+        opts["bits"] = app_opts.tiff_bits
+    elif opts["bits"] is None and opts["format"] == "png":
+        opts["bits"] = app_opts.png_bits
     from art_tpu.io import load_image
     from art_tpu.pipeline import process_image
 
