@@ -178,3 +178,45 @@ def apply_tetrahedral(r, g, b, table):
         out = one_chunk((rr[0], gg[0], bb[0]))
     return (out[0].reshape(shape), out[1].reshape(shape),
             out[2].reshape(shape))
+
+
+def apply_trilinear(r, g, b, table):
+    """Trilinear 3D LUT interpolation (CLF interpolation="trilinear").
+
+    Same packed-corner gather strategy as :func:`apply_tetrahedral`,
+    but with the classic 8-corner product weights.
+    """
+    n = table.shape[0]
+    dm1 = n - 1.0
+    m = n - 1
+    corners = []
+    for i in (0, 1):
+        for j in (0, 1):
+            for k in (0, 1):
+                corners.append(table[i : i + m, j : j + m, k : k + m, :])
+    cells = jnp.stack(corners, axis=3).reshape(m * m * m, 24)
+
+    shape = r.shape
+    rr = jnp.clip(r, 0.0, 1.0).reshape(-1) * dm1
+    gg = jnp.clip(g, 0.0, 1.0).reshape(-1) * dm1
+    bb = jnp.clip(b, 0.0, 1.0).reshape(-1) * dm1
+    r0 = jnp.minimum(jnp.floor(rr), dm1 - 1).astype(jnp.int32)
+    g0 = jnp.minimum(jnp.floor(gg), dm1 - 1).astype(jnp.int32)
+    b0 = jnp.minimum(jnp.floor(bb), dm1 - 1).astype(jnp.int32)
+    fr = (rr - r0)[:, None]
+    fg = (gg - g0)[:, None]
+    fb = (bb - b0)[:, None]
+    cell = (r0 * m + g0) * m + b0
+    fetched = jnp.take(cells, cell.reshape(-1, 1), axis=0)
+    fetched = fetched.reshape(-1, 8, 3)
+    out = 0.0
+    for i in (0, 1):
+        wi = fr if i else (1.0 - fr)
+        for j in (0, 1):
+            wj = fg if j else (1.0 - fg)
+            for k in (0, 1):
+                wk = fb if k else (1.0 - fb)
+                out = out + fetched[:, (i << 2) | (j << 1) | k, :] \
+                    * (wi * wj * wk)
+    return (out[:, 0].reshape(shape), out[:, 1].reshape(shape),
+            out[:, 2].reshape(shape))

@@ -93,6 +93,31 @@ def _plan_common(pp, ctx, want_after):
             "strength": np.float32(np.clip(fs.strength / 100.0, 0.0, 1.0)),
         }
         return ("ctl", False), data
+    if fs.clut_filename.lower().endswith((".clf", ".clfz")):
+        # Common LUT Format via the native CLF interpreter (the
+        # reference routes these through OCIO: clutstore.cc getOCIOLut
+        # + OCIO_apply at :1620 — working -> ACESp0 linear, ProcessList,
+        # back, strength blend)
+        if key not in _lut_cache:
+            try:
+                from art_tpu.color.clf import load_clf
+
+                _lut_cache[key] = load_clf(fs.clut_filename)
+            except Exception:
+                _lut_cache[key] = None
+        entry = _lut_cache[key]
+        if entry is None:
+            return None
+        sigs, arrays = entry
+        work = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]]
+        conv = (np.linalg.inv(cs.MATRICES_RGB_TO_XYZ["ACESp0"]) @ work)
+        data = {
+            "clf_arrays": arrays,
+            "to_clut": conv.astype(np.float32),
+            "to_work": np.linalg.inv(conv).astype(np.float32),
+            "strength": np.float32(np.clip(fs.strength / 100.0, 0.0, 1.0)),
+        }
+        return ("clf", sigs), data
     if key not in _lut_cache:
         try:
             if fs.clut_filename.lower().endswith(".json"):
@@ -153,6 +178,16 @@ def apply(rgb, data, static):
         r2, g2, b2 = apply_tetrahedral(enc[0], enc[1], enc[2],
                                        data["table"])
         out = _mat3(data["to_work"], jnp.stack([r2, g2, b2])) * MAXVAL
+        s = data["strength"]
+        return out * s + rgb * (1.0 - s)
+    if mode == "clf":
+        # OCIO_apply semantics (clutstore.cc:1620-1655): linear ACESp0
+        # in and out, strength blend in working space
+        from art_tpu.color.clf import apply_clf
+
+        x = _mat3(data["to_clut"], rgb / MAXVAL)
+        y = apply_clf(x, same, data["clf_arrays"])
+        out = _mat3(data["to_work"], y) * MAXVAL
         s = data["strength"]
         return out * s + rgb * (1.0 - s)
     x = rgb / MAXVAL
