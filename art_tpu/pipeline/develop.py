@@ -1189,5 +1189,11 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
                    exif_bytes=exif_bytes, exif_tags=exif_tags,
                    icc_bytes=icc, uncompressed=uncompressed,
                    xmp_bytes=xmp_bytes, iptc_iim=iptc_iim)
+        if pp.metadata.mode == 0 and frame.filename:
+            # tunnel mode: deep makernote copy via exiftool when the
+            # binary exists (metadata.h:113 fallback; no-op otherwise)
+            from art_tpu.io.exiftool import copy_tags
+
+            copy_tags(frame.filename, output_path)
         _tick("encode+metadata", t)
     return out

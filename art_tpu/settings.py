@@ -38,6 +38,11 @@ class Settings:
     lensfun_db_dir: str | None = None
     # directory for CTL scripts / HaldCLUTs (options.clutsDir)
     cluts_dir: str | None = None
+    # exiftool binary for deep makernote preservation on output
+    # (settings.h:75 exiftool_path; metadata.cc embed path). The native
+    # EXIF tunnel always runs; exiftool additionally copies proprietary
+    # makernote blocks when the binary exists.
+    exiftool_path: str = "exiftool"
     # Fold the raw head (WB+cam2work) and rgb2out tail passes into the
     # adjacent Pallas kernels on the default pipeline (perf; False keeps
     # every pass a separate XLA program region — used by parity tests)
