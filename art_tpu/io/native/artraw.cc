@@ -2776,8 +2776,8 @@ static uint16_t* decode_raf(const uint8_t* buf, size_t len,
 // Bitstream model: CRAW tracks; per tile / per Bayer-subplane subbands
 // coded with an adaptive Rice-Golomb residual stream over a median
 // (LOCO-I-style) predictor plus zero-run-length coding. Scope: the
-// lossless profile (imageLevels 0, encType 0, 4 planes); lossy (wavelet)
-// cRAW routes to the preconverter hook.
+// lossless profile (imageLevels 0, encType 0, 4 planes) and the lossy
+// (wavelet) cRAW profile (subband Rice streams + 5/3 IDWT, below).
 // ---------------------------------------------------------------------------
 
 // MSB-first bit reader over a memory span; reads past the end yield 0.
@@ -4097,11 +4097,130 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// Minolta MRW (DiMAGE 5/7/A1/A2/A200, Dynax/Maxxum 5D/7D; reference decode
+// boundary: rtengine/dcraw.cc parse_minolta :7304 + packed_load_raw).
+// Fresh implementation from the publicly documented container: big-endian
+// "\0MRM"<len> block chain holding \0PRD (sensor dims, bit depth, storage
+// method), \0WBG (per-channel WB gains R,G1,G2,B), \0TTW (embedded TIFF
+// with make/model/EXIF); the CFA payload follows the MRM block, 12-bit
+// big-endian MSB-packed (storage 0x59) or 16-bit unpacked (0x52).
+// ---------------------------------------------------------------------------
+static uint16_t* decode_mrw(const uint8_t* buf, size_t len,
+                            ArtRawMeta* meta) {
+    Reader r{buf, len, false};  // big-endian throughout
+    size_t data_off = 8 + (size_t)r.u32(4);
+    if (data_off >= len) return nullptr;
+
+    int rh = 0, rw = 0, data_bits = 16, storage = 0x52;
+    double wb[4] = {0, 0, 0, 0};
+    char make[64] = {0}, model[64] = {0};
+    int orient = 1;
+    double iso = 0.0;
+
+    size_t pos = 8;
+    while (pos + 8 <= data_off) {
+        uint32_t tag = r.u32(pos);
+        uint32_t blen = r.u32(pos + 4);
+        size_t p = pos + 8;
+        if (p + blen > data_off) break;
+        if (tag == 0x00505244 && blen >= 19) {  // \0PRD
+            // version[8], ccdH(2), ccdW(2), imgH(2), imgW(2),
+            // dataSize bits(1), pixelSize bits(1), storageMethod(1)
+            rh = r.u16(p + 8);
+            rw = r.u16(p + 10);
+            data_bits = buf[p + 16];
+            storage = buf[p + 18];
+        } else if (tag == 0x00574247 && blen >= 12) {  // \0WBG
+            // 4 scale nibbles, then u16 gains in R,G1,G2,B order
+            for (int c = 0; c < 4; ++c) wb[c] = r.u16(p + 4 + 2 * c);
+        } else if (tag == 0x00545457 && blen >= 8) {  // \0TTW: TIFF
+            // embedded TIFF; offsets are relative to its own header
+            Reader tr{buf + p, len - p, buf[p] == 'I'};
+            if ((buf[p] == 'I' || buf[p] == 'M') && tr.u16(2) == 42) {
+                std::vector<uint32_t> queue{tr.u32(4)};
+                std::vector<uint32_t> seen;
+                bool first = true;
+                while (!queue.empty()) {
+                    uint32_t off = queue.back();
+                    queue.pop_back();
+                    if (!off || off + 2 > tr.len) continue;
+                    bool dup = false;
+                    for (uint32_t s : seen) if (s == off) { dup = true; break; }
+                    if (dup) continue;
+                    seen.push_back(off);
+                    IFD ifd;
+                    std::vector<uint32_t> subs;
+                    parse_ifd(tr, off, ifd, subs, 0);
+                    for (uint32_t s : subs) queue.push_back(s);
+                    if (first) {
+                        const TagValue* mk = ifd.find(271);
+                        if (mk) strncpy(make, mk->str.c_str(), 63);
+                        const TagValue* md = ifd.find(272);
+                        if (md) strncpy(model, md->str.c_str(), 63);
+                        orient = (int)ifd.num(274, 1);
+                        first = false;
+                    }
+                    const TagValue* is = ifd.find(34855);
+                    if (is && !is->nums.empty() && iso <= 0)
+                        iso = is->nums[0];
+                }
+            }
+        }
+        pos = p + blen;
+    }
+    if (rh <= 0 || rw <= 0 || rh > 65535 || rw > 65535) return nullptr;
+
+    size_t npix = (size_t)rh * rw;
+    uint16_t* out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+    if (!out) return nullptr;
+    size_t avail = len - data_off;
+    if (storage == 0x59 && data_bits == 12) {  // 12-bit MSB packed
+        if (avail * 8 < npix * 12) { free(out); return nullptr; }
+        unpack_bits(buf + data_off, avail, out, npix, 12, true);
+    } else {  // 16-bit big-endian words holding 12-bit samples
+        if (avail < npix * 2) { free(out); return nullptr; }
+        for (size_t i = 0; i < npix; ++i)
+            out[i] = (uint16_t)((buf[data_off + 2 * i] << 8)
+                                | buf[data_off + 2 * i + 1]);
+    }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->width = rw;
+    meta->height = rh;
+    meta->orientation = orient;
+    meta->xtrans[0] = -1;
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    // RGGB for all bodies except the DiMAGE A200 (GBRG; dcraw.cc
+    // filters=0x49494949 at :10170)
+    static const int rggb[4] = {0, 1, 1, 2};
+    static const int gbrg[4] = {1, 2, 0, 1};
+    bool a200 = strstr(model, "A200") != nullptr;
+    for (int i = 0; i < 4; ++i)
+        meta->cfa_pattern[i] = a200 ? gbrg[i] : rggb[i];
+    // white level: 12-bit range; per-model ceilings from the camconst/
+    // adobe tables land via the Python-side camconst override
+    double wmax = (1 << 12) - 1;
+    for (int i = 0; i < 4; ++i) { meta->white[i] = wmax; meta->black[i] = 0; }
+    meta->iso = iso > 0 ? iso : 100.0;
+    if (wb[0] > 0 && wb[1] > 0 && wb[3] > 0) {
+        meta->as_shot_neutral[0] = wb[1] / wb[0];
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = wb[1] / wb[3];
+    }
+    strncpy(meta->make, make[0] ? make : "Minolta", 63);
+    if (model[0]) strncpy(meta->model, model, 63);
+    return out;
+}
+
 uint16_t* artraw_decode(const uint8_t* buf, size_t len, ArtRawMeta* meta);
 
 uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
                             ArtRawMeta* meta) {
     if (len < 8) return nullptr;
+    if (len > 8 && buf[0] == 0 && memcmp(buf + 1, "MRM", 3) == 0)
+        return decode_mrw(buf, len, meta);
     if (len > 16 && memcmp(buf, "FUJIFILMCCD-RAW", 15) == 0)
         return decode_raf(buf, len, meta);
     if (len > 24 && memcmp(buf + 4, "ftyp", 4) == 0
