@@ -123,6 +123,34 @@ def harvest(path):
     return tags, previews
 
 
+def _decode_jpeg_resilient(blob):
+    """Decode a (possibly truncated or marker-damaged) JPEG preview.
+
+    The reference bundles a patched IJG libjpeg whose sole purpose is
+    resilient thumbnail decode (rtengine/jpeg_ijg, rtjpeg.cc: error
+    handlers that keep partial scans instead of aborting). Equivalent
+    here: a strict PIL pass first, then a salvage pass with truncated-
+    image tolerance that keeps whatever scanlines decoded."""
+    import io as _io
+
+    from PIL import Image, ImageFile
+
+    try:
+        return Image.open(_io.BytesIO(blob)).convert("RGB")
+    except Exception:
+        pass
+    prev = ImageFile.LOAD_TRUNCATED_IMAGES
+    ImageFile.LOAD_TRUNCATED_IMAGES = True
+    try:
+        img = Image.open(_io.BytesIO(blob))
+        img.load()
+        return img.convert("RGB")
+    except Exception:
+        return None
+    finally:
+        ImageFile.LOAD_TRUNCATED_IMAGES = prev
+
+
 def embedded_thumb(path):
     """Largest embedded JPEG preview as (3, H, W) float [0,1], or None."""
     try:
@@ -134,16 +162,17 @@ def embedded_thumb(path):
         with open(path, "rb") as f:
             f.seek(off)
             blob = f.read(length)
+            # preview tables sometimes under-report the byte count
+            # (rtthumbnail.cc quick-load tolerates this); extend to the
+            # EOI marker when the claimed span ends mid-stream
+            if blob.startswith(b"\xff\xd8") and b"\xff\xd9" not in blob:
+                blob += f.read(32 * 1024 * 1024)
         if not blob.startswith(b"\xff\xd8"):
             continue
-        import io as _io
-
         import numpy as np
-        from PIL import Image
 
-        try:
-            img = Image.open(_io.BytesIO(blob)).convert("RGB")
-        except Exception:
+        img = _decode_jpeg_resilient(blob)
+        if img is None:
             continue
         arr = np.moveaxis(np.asarray(img, dtype=np.float32) / 255.0, -1, 0)
         if best is None or arr.size > best.size:

@@ -43,6 +43,26 @@ def test_embedded_thumb(dng_with_preview):
     assert np.abs(t - look[:, ::4, ::4]).mean() < 0.03
 
 
+def test_resilient_jpeg_salvage():
+    # truncated JPEG (the jpeg_ijg resilient-thumbnail role): strict
+    # decode fails, the salvage pass keeps the decoded scanlines
+    import io as _io
+
+    from PIL import Image
+
+    from art_tpu.io.metadata import _decode_jpeg_resilient
+
+    rng = np.random.default_rng(7)
+    arr = (rng.uniform(0, 255, (64, 96, 3))).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    blob = buf.getvalue()
+    cut = blob[: len(blob) * 2 // 3]  # drop the tail incl. EOI
+    img = _decode_jpeg_resilient(cut)
+    assert img is not None and img.size == (96, 64)
+    assert _decode_jpeg_resilient(b"\xff\xd8garbage") is None
+
+
 def test_exif_tunnel_to_jpeg(dng_with_preview, tmp_path):
     from PIL import Image
 
