@@ -70,8 +70,35 @@ def run(n_devices: int) -> None:
     assert bool(jnp.all(jnp.isfinite(out)))
     # prove the output really lives sharded across the mesh
     assert len(out.sharding.device_set) == n_devices, out.sharding
+
+    # Second gate: the PRODUCTION path — parallel.queue.process_batch
+    # (streaming decode -> shard_map device step -> encode), not just the
+    # vmap plumbing above. 2 mesh passes of tiny DNGs, files on disk.
+    import tempfile
+
+    from art_tpu.io.dngwrite import write_dng
+    from art_tpu.parallel.queue import process_batch
+
+    with tempfile.TemporaryDirectory() as td:
+        mosaic = np.asarray(frame.cfa).astype(np.uint16)
+        jobs = []
+        for i in range(2 * n_devices):
+            p = f"{td}/in_{i}.dng"
+            write_dng(p, mosaic, pattern="RGGB", black=512, white=16383)
+            ppq = ProcParams()
+            ppq.raw.bayer.method = "bilinear"
+            jobs.append((p, ppq, f"{td}/out_{i}.png"))
+        stats: dict = {}
+        oks = process_batch(jobs, devices=devs[:n_devices], stats=stats)
+        assert all(oks), oks
+        import os as _os
+
+        assert all(_os.path.exists(j[2]) for j in jobs)
+        assert stats["peak_in_flight"] <= stats["window"], stats
+
     print(f"dryrun_multichip: OK on {n_devices} {jax.default_backend()} "
-          f"devices, out {out.shape}")
+          f"devices, out {out.shape}; queue {2 * n_devices} jobs "
+          f"(peak in-flight {stats['peak_in_flight']})")
 
 
 if __name__ == "__main__":
