@@ -1619,6 +1619,135 @@ static bool srw_decode_v3(const Reader& r, size_t data_off, uint16_t* out,
     return true;
 }
 
+// ---------------------------------------------------------------------------
+// Hasselblad 3FR (reference decode boundary: dcraw.cc hasselblad_load_raw).
+// Fresh implementation: the container is TIFF with an ljpeg-marker header
+// (SOI/SOF3/DHT/SOS parsed by the LJ92 struct above), but the entropy
+// stream is Phase-One-style — bits consumed MSB-first from little-endian
+// 32-bit words — coding column pairs as two Huffman bit-length codes
+// followed by the two raw difference fields; predictor is the same-color
+// left neighbor (0x8000 at row start), psv 11 adding half the vertical
+// gradient of the two-rows-up line. Scope: single-sample (non-multishot)
+// streams; CFA is GRBG (dcraw filters 0x61616161).
+// ---------------------------------------------------------------------------
+struct Ph1Bits {
+    const uint8_t* p;
+    size_t n;
+    size_t pos = 0;
+    uint64_t bitbuf = 0;
+    int vbits = 0;
+    inline uint32_t get4() {
+        uint32_t v = 0;
+        for (int i = 0; i < 4; ++i)
+            if (pos + i < n) v |= (uint32_t)p[pos + i] << (8 * i);
+        pos += 4;
+        return v;
+    }
+    inline uint32_t bits(int nbits) {
+        if (nbits <= 0) return 0;
+        if (vbits < nbits) {
+            bitbuf = bitbuf << 32 | get4();
+            vbits += 32;
+        }
+        uint32_t c = (uint32_t)(bitbuf << (64 - vbits) >> (64 - nbits));
+        vbits -= nbits;
+        return c;
+    }
+};
+
+static int ph1_huff_decode(Ph1Bits& br, const HuffTable& h) {
+    int code = (int)br.bits(1);
+    int l = 1;
+    while (l <= 16 && code > h.maxcode[l]) {
+        code = (code << 1) | (int)br.bits(1);
+        ++l;
+    }
+    if (l > 16) return -1;
+    return h.vals[h.valptr[l] + code - h.mincode[l]];
+}
+
+static uint16_t* decode_3fr(const Reader& r, const std::vector<IFD>& ifds,
+                            const IFD* rawifd, ArtRawMeta* meta) {
+    int width = (int)rawifd->num(256, 0);
+    int height = (int)rawifd->num(257, 0);
+    const TagValue* so = rawifd->find(273);
+    const TagValue* sc = rawifd->find(279);
+    if (width <= 0 || height <= 0 || !so || so->nums.empty()) return nullptr;
+    size_t off = (size_t)so->nums[0];
+    size_t cnt = (sc && !sc->nums.empty()) ? (size_t)sc->nums[0]
+                                           : r.len - off;
+    if (off >= r.len) return nullptr;
+    if (off + cnt > r.len) cnt = r.len - off;
+
+    LJ92 lj;
+    if (!lj.parse(r.buf + off, cnt) || !lj.tables[0].valid) return nullptr;
+    // stream dims can differ from the IFD (height halved on some backs);
+    // trust the IFD like the reference (raw_width/raw_height stay TIFF's)
+    Ph1Bits br{lj.scan_start, (size_t)(lj.data_end - lj.scan_start)};
+
+    size_t npix = (size_t)width * height;
+    uint16_t* out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+    if (!out) return nullptr;
+    std::vector<int32_t> l0(width, 0), l1(width, 0), l2(width, 0);
+    int32_t *b0 = l0.data(), *b1 = l1.data(), *b2 = l2.data();
+    const HuffTable& h0 = lj.tables[0];
+    bool ok = true;
+    for (int row = 0; row < height && ok; ++row) {
+        int32_t* t = b0;  // rotate: b0 <- b1 <- b2 <- (reused)
+        b0 = b1;
+        b1 = b2;
+        b2 = t;
+        uint16_t* rp = out + (size_t)row * width;
+        for (int col = 0; col < width - 1; col += 2) {
+            int len0 = ph1_huff_decode(br, h0);
+            int len1 = ph1_huff_decode(br, h0);
+            if (len0 < 0 || len1 < 0) { ok = false; break; }
+            int d[2];
+            for (int c = 0; c < 2; ++c) {
+                int l = c ? len1 : len0;
+                int v = (int)br.bits(l);
+                if (l && !(v & (1 << (l - 1)))) v -= (1 << l) - 1;
+                if (v == 65535) v = -32768;
+                d[c] = v;
+            }
+            for (int s = col; s < col + 2; ++s) {
+                int pred = 0x8000;
+                if (col) pred = b2[s - 2];
+                if (col && row > 1 && lj.pred == 11)
+                    pred += b0[s] / 2 - b0[s - 2] / 2;
+                pred += d[s & 1];
+                rp[s] = (uint16_t)(pred & 0xFFFF);
+                b2[s] = pred;
+            }
+        }
+    }
+    if (!ok) { free(out); return nullptr; }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->width = width;
+    meta->height = height;
+    meta->orientation = (int)ifds[0].num(274, 1);
+    meta->xtrans[0] = -1;
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    static const int grbg[4] = {1, 0, 2, 1};
+    for (int i = 0; i < 4; ++i) meta->cfa_pattern[i] = grbg[i];
+    for (int i = 0; i < 4; ++i) {
+        meta->white[i] = 65535.0;
+        meta->black[i] = 0.0;
+    }
+    meta->iso = 100.0;
+    for (auto& ifd : ifds) {
+        const TagValue* iso = ifd.find(34855);
+        if (iso && !iso->nums.empty()) { meta->iso = iso->nums[0]; break; }
+    }
+    const TagValue* mk = ifds[0].find(271);
+    if (mk) strncpy(meta->make, mk->str.c_str(), 63);
+    const TagValue* md = ifds[0].find(272);
+    if (md) strncpy(meta->model, md->str.c_str(), 63);
+    return out;
+}
+
 static uint16_t* decode_srw(const Reader& r, const std::vector<IFD>& ifds,
                             const IFD* raw, ArtRawMeta* meta) {
     int width = (int)raw->num(256, 0);
@@ -4292,6 +4421,19 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
         int comp = (int)ifd.num(259, 0);
         if (comp == 32770 || comp == 32772 || comp == 32773)
             return decode_srw(r, ifds, &ifd, meta);
+    }
+
+    // Hasselblad 3FR: compression-7 CFA stream with the ph1 bit order
+    // (FFF exports are plain TIFF and take the generic path below)
+    {
+        const TagValue* mk0 = ifds[0].find(271);
+        if (mk0 && mk0->str.compare(0, 10, "Hasselblad") == 0
+                && !ifds[0].find(50706)) {
+            for (auto& ifd : ifds) {
+                if ((int)ifd.num(259, 0) == 7)
+                    return decode_3fr(r, ifds, &ifd, meta);
+            }
+        }
     }
 
     // Sony ARW: compression-32767 raw IFD (ARW2 cRAW), or an
