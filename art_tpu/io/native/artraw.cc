@@ -1748,6 +1748,156 @@ static uint16_t* decode_3fr(const Reader& r, const std::vector<IFD>& ifds,
     return out;
 }
 
+// ---------------------------------------------------------------------------
+// Phase One IIQ (reference decode boundary: dcraw.cc parse_phase_one :7593
+// + phase_one_load_raw_c). Fresh implementation: a "Raw" directory of
+// (tag, type, len, data) entries holds dims/format/offsets/black tables;
+// the compressed payload (formats 5/6) is one ph1 bit stream per row
+// (per-row offset table) coding two interleaved parity chains — every 8
+// columns a unary+1-bit code reselects each chain's difference bit-length
+// from a fixed class table; len 14 escapes to a raw 16-bit sample. Output
+// applies <<2 scaling (format != 8), the format-5 toe curve, and the
+// per-row/column black correction tables.
+// ---------------------------------------------------------------------------
+static uint16_t* decode_iiq(const uint8_t* buf, size_t len,
+                            ArtRawMeta* meta, size_t base) {
+    Reader r{buf, len, true};
+    if ((r.u32(base) & 0xFFFF) != 0x4949) return nullptr;  // II only
+    if ((r.u32(base + 4) >> 8) != 0x526177) return nullptr;  // "Raw"
+    size_t dir = base + r.u32(base + 8);
+    if (dir + 8 > len) return nullptr;
+    uint32_t entries = r.u32(dir);
+    if (entries > 4096) return nullptr;
+
+    int rw = 0, rh = 0, format = 0, flip_code = 0;
+    uint32_t data_off = 0, strip_off = 0, black = 0;
+    uint32_t split_col = 0, black_col = 0, split_row = 0, black_row = 0;
+    double wb[3] = {0, 0, 0};
+    char model[64] = {0};
+    size_t p = dir + 8;
+    for (uint32_t e = 0; e < entries && p + 16 <= len; ++e, p += 16) {
+        uint32_t tag = r.u32(p);
+        uint32_t data = r.u32(p + 12);
+        switch (tag) {
+            case 0x100: flip_code = (int)(data & 3); break;
+            case 0x107:
+                for (int c = 0; c < 3; ++c) {
+                    uint32_t b = r.u32(base + data + 4u * c);
+                    float f;
+                    memcpy(&f, &b, 4);
+                    wb[c] = f;
+                }
+                break;
+            case 0x108: rw = (int)data; break;
+            case 0x109: rh = (int)data; break;
+            case 0x10e: format = (int)data; break;
+            case 0x10f: data_off = data + (uint32_t)base; break;
+            case 0x21c: strip_off = data + (uint32_t)base; break;
+            case 0x21d: black = data; break;
+            case 0x222: split_col = data; break;
+            case 0x223: black_col = data + (uint32_t)base; break;
+            case 0x224: split_row = data; break;
+            case 0x225: black_row = data + (uint32_t)base; break;
+            case 0x301: {
+                for (int i = 0; i < 63 && base + data + i < len; ++i) {
+                    char c = (char)buf[base + data + i];
+                    if (!c) break;
+                    model[i] = c;
+                }
+                char* cam = strstr(model, " camera");
+                if (cam) *cam = 0;
+                break;
+            }
+        }
+    }
+    if (rw <= 0 || rh <= 0 || rw > 65535 || rh > 65535) return nullptr;
+    if (format < 3 || !data_off || !strip_off)
+        return nullptr;  // uncompressed IIQ: preconverter scope
+
+    // per-row stream offsets
+    std::vector<uint32_t> rowoff(rh);
+    for (int row = 0; row < rh; ++row) {
+        if (strip_off + 4u * row + 4 > len) return nullptr;
+        rowoff[row] = r.u32(strip_off + 4u * row);
+    }
+    // black correction tables (signed shorts, two per row/col)
+    std::vector<int16_t> cblk((size_t)rh * 2, 0), rblk((size_t)rw * 2, 0);
+    if (black_col && black_col + (size_t)rh * 4 <= len)
+        for (int i = 0; i < rh * 2; ++i)
+            cblk[i] = (int16_t)r.u16(black_col + 2u * i);
+    if (black_row && black_row + (size_t)rw * 4 <= len)
+        for (int i = 0; i < rw * 2; ++i)
+            rblk[i] = (int16_t)r.u16(black_row + 2u * i);
+    uint16_t curve[256];
+    for (int i = 0; i < 256; ++i)
+        curve[i] = (uint16_t)(i * i / 3.969 + 0.5);
+
+    static const int kLen[] = {8, 7, 6, 9, 11, 10, 5, 12, 14, 13};
+    size_t npix = (size_t)rw * rh;
+    uint16_t* out = (uint16_t*)calloc(npix, sizeof(uint16_t));
+    if (!out) return nullptr;
+    std::vector<uint16_t> pix(rw);
+    int shift = 2 * (format != 8);
+    for (int row = 0; row < rh; ++row) {
+        size_t so = (size_t)data_off + rowoff[row];
+        if (so >= len) { free(out); return nullptr; }
+        Ph1Bits br{buf + so, len - so};
+        int pred[2] = {0, 0}, ln[2] = {0, 0};
+        int tail = rw & ~7;
+        for (int col = 0; col < rw; ++col) {
+            if (col >= tail) {
+                ln[0] = ln[1] = 14;
+            } else if ((col & 7) == 0) {
+                for (int i = 0; i < 2; ++i) {
+                    int j = 0;
+                    while (j < 5 && !br.bits(1)) ++j;
+                    if (j) ln[i] = kLen[(j - 1) * 2 + (int)br.bits(1)];
+                }
+            }
+            int i = ln[col & 1];
+            if (i == 14)
+                pix[col] = (uint16_t)(pred[col & 1] = (int)br.bits(16));
+            else
+                pix[col] = (uint16_t)(pred[col & 1] +=
+                    (int)br.bits(i) + 1 - (1 << (i - 1)));
+            if ((unsigned)pred[col & 1] >> 16) { free(out); return nullptr; }
+            if (format == 5 && pix[col] < 256)
+                pix[col] = curve[pix[col]];
+        }
+        uint16_t* rp = out + (size_t)row * rw;
+        for (int col = 0; col < rw; ++col) {
+            int v = (pix[col] << shift) - (int)black
+                  + cblk[(size_t)row * 2 + (col >= (int)split_col)]
+                  + rblk[(size_t)col * 2 + (row >= (int)split_row)];
+            rp[col] = v > 0 ? (uint16_t)v : 0;
+        }
+    }
+
+    memset(meta, 0, sizeof(*meta));
+    meta->width = rw;
+    meta->height = rh;
+    // dcraw maps tag 0x100 through "0653" (dcraw flip 0/6/5/3; as EXIF
+    // orientation: 1 / 6 / 8 / 3)
+    static const int kFlipOri[4] = {1, 6, 8, 3};
+    meta->orientation = kFlipOri[flip_code & 3];
+    meta->xtrans[0] = -1;
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    static const int rggb[4] = {0, 1, 1, 2};
+    for (int i = 0; i < 4; ++i) meta->cfa_pattern[i] = rggb[i];
+    double wmax = 0xFFFC - (double)black;
+    for (int i = 0; i < 4; ++i) { meta->white[i] = wmax; meta->black[i] = 0; }
+    meta->iso = 100.0;
+    if (wb[0] > 0 && wb[1] > 0 && wb[2] > 0) {
+        meta->as_shot_neutral[0] = wb[1] / wb[0];
+        meta->as_shot_neutral[1] = 1.0;
+        meta->as_shot_neutral[2] = wb[1] / wb[2];
+    }
+    strncpy(meta->make, "Phase One", 63);
+    if (model[0]) strncpy(meta->model, model, 63);
+    return out;
+}
+
 static uint16_t* decode_srw(const Reader& r, const std::vector<IFD>& ifds,
                             const IFD* raw, ArtRawMeta* meta) {
     int width = (int)raw->num(256, 0);
@@ -4350,6 +4500,11 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
     if (len < 8) return nullptr;
     if (len > 8 && buf[0] == 0 && memcmp(buf + 1, "MRM", 3) == 0)
         return decode_mrw(buf, len, meta);
+    // Phase One IIQ: "IIII" magic within the first 32 bytes
+    for (size_t b = 0; b + 12 <= len && b + 4 <= 32; ++b) {
+        if (memcmp(buf + b, "IIII", 4) == 0)
+            return decode_iiq(buf, len, meta, b);
+    }
     if (len > 16 && memcmp(buf, "FUJIFILMCCD-RAW", 15) == 0)
         return decode_raf(buf, len, meta);
     if (len > 24 && memcmp(buf + 4, "ftyp", 4) == 0
