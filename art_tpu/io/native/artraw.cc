@@ -2318,9 +2318,69 @@ static uint16_t* decode_rw2(const Reader& r, const std::vector<IFD>& ifds,
 // sony_arw2_load_raw; fresh implementation from the public ARW2 "cRAW"
 // block description). Scope: ARW 2.x compressed (compression 32767,
 // 1 byte/pixel 16-pixel delta blocks + the tag-0x7010 linearization
-// curve), and uncompressed 14/16-bit strips. ARW 1.0 and the newest
-// lossless-compressed variant route through the preconverter hook.
+// curve), lossless-compressed (compression 7: LJ92 tiles whose
+// 4-component samples are 2x2 Bayer quads — the layout LibRaw's
+// sony_ljpeg_load_raw implements; the reference reaches it only through
+// the optional LibRaw backend, rawimage.h:81, rawimage.cc:506-540),
+// and uncompressed 14/16-bit strips. ARW 1.0 routes through the
+// preconverter hook.
 // ---------------------------------------------------------------------------
+
+// Decode one LJ92 tile stream of 2x2-quad samples into the mosaic at
+// (ty, tx). Each LJPEG sample row of `4 * lj.width` values covers two
+// mosaic rows and `2 * lj.width` columns: group k of 4 consecutive
+// values is the quad at (2*jrow, 2*k) = {v0 v1 / v2 v3}.
+static bool blit_ljpeg_quads(const LJ92& lj, const uint16_t* tilebuf,
+                             int ty, int tx, int width, int height,
+                             uint16_t* out) {
+    for (int jrow = 0; jrow < lj.height; ++jrow) {
+        int row0 = ty + 2 * jrow;
+        if (row0 >= height) break;
+        const uint16_t* sp = tilebuf + (size_t)jrow * lj.width * 4;
+        for (int k = 0; k < lj.width; ++k) {
+            int col0 = tx + 2 * k;
+            if (col0 >= width) break;
+            uint16_t* d0 = out + (size_t)row0 * width + col0;
+            d0[0] = sp[4 * k];
+            if (col0 + 1 < width) d0[1] = sp[4 * k + 1];
+            if (row0 + 1 < height) {
+                uint16_t* d1 = d0 + width;
+                d1[0] = sp[4 * k + 2];
+                if (col0 + 1 < width) d1[1] = sp[4 * k + 3];
+            }
+        }
+    }
+    return true;
+}
+
+static bool decode_arw_lossless(const Reader& r, const IFD& raw, int width,
+                                int height, uint16_t* out) {
+    const TagValue* tile_off = raw.find(324);
+    const TagValue* tile_cnt = raw.find(325);
+    if (!tile_off || tile_off->nums.empty()) return false;
+    int tw = (int)raw.num(322, width);
+    int th = (int)raw.num(323, height);
+    if (tw <= 0 || th <= 0 || (tw | th) & 1) return false;
+    int tiles_x = (width + tw - 1) / tw;
+    std::vector<uint16_t> tilebuf;
+    for (size_t t = 0; t < tile_off->nums.size(); ++t) {
+        size_t off = (size_t)tile_off->nums[t];
+        size_t cnt = (tile_cnt && t < tile_cnt->nums.size())
+                         ? (size_t)tile_cnt->nums[t]
+                         : (off < r.len ? r.len - off : 0);
+        if (off >= r.len || off + cnt > r.len) return false;
+        LJ92 lj;
+        if (!lj.parse(r.buf + off, cnt)) return false;
+        if (lj.components != 4) return false;
+        if (2 * lj.width != tw || 2 * lj.height != th) return false;
+        tilebuf.resize((size_t)lj.width * lj.height * 4);
+        if (!lj.decode(tilebuf.data())) return false;
+        int tx = (int)(t % tiles_x) * tw;
+        int ty = (int)(t / tiles_x) * th;
+        blit_ljpeg_quads(lj, tilebuf.data(), ty, tx, width, height, out);
+    }
+    return true;
+}
 
 static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,
                             const IFD* raw, ArtRawMeta* meta) {
@@ -2357,11 +2417,12 @@ static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,
 
     const TagValue* so = raw->find(273);
     const TagValue* sc = raw->find(279);
-    if (!so || so->nums.empty()) return nullptr;
-    size_t off = (size_t)so->nums[0];
+    // lossless tiles carry TileOffsets (324) instead of strips
+    if ((!so || so->nums.empty()) && compression != 7) return nullptr;
+    size_t off = (so && !so->nums.empty()) ? (size_t)so->nums[0] : 0;
     size_t bytes = sc && !sc->nums.empty() ? (size_t)sc->nums[0]
                                            : (off < r.len ? r.len - off : 0);
-    if (off >= r.len) return nullptr;
+    if (off >= r.len && compression != 7) return nullptr;
 
     uint16_t* out = (uint16_t*)calloc((size_t)width * height,
                                       sizeof(uint16_t));
@@ -2411,6 +2472,13 @@ static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,
         // conservative ARW2 white level (dcraw.cc RT fix); camconst
         // per-ISO levels override per model
         wmax = 16300.0;
+    } else if (compression == 7) {
+        // lossless-compressed: LJ92 2x2-quad tiles, no linearization
+        // curve (the stream carries the full 14-bit values)
+        if (!decode_arw_lossless(r, *raw, width, height, out)) {
+            free(out);
+            return nullptr;
+        }
     } else if (compression == 1) {
         if (!decode_strips_tiles(r, *raw, width, height, bps, 1, 1, out)) {
             free(out);

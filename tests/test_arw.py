@@ -86,6 +86,59 @@ def test_arw2_lossy_blocks_match_python_decoder(tmp_path):
     np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
 
 
+def test_arw_lossless_roundtrip(tmp_path):
+    """Compression-7 (LJ92 2x2-quad tiles) lossless path is bit-exact."""
+    from tests.util_arw import write_arw_lossless
+
+    rng = np.random.default_rng(7)
+    pix = rng.integers(0, 16384, size=(64, 96)).astype(np.int64)
+    p = tmp_path / "ll.arw"
+    expected = write_arw_lossless(p, pix, tile=(32, 16))
+    frame = load_raw(p)
+    assert frame.pattern == "RGGB"
+    assert frame.cfa.shape == (64, 96)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+    # 14-bit container white level
+    assert frame.white[0] == 16383
+
+
+def test_arw_lossless_single_tile_and_partial_edge(tmp_path):
+    """One tile covering the image, and a tile grid that overhangs the
+    right/bottom edge (tile-padded region must be discarded)."""
+    from tests.util_arw import write_arw_lossless
+
+    rng = np.random.default_rng(8)
+    pix = rng.integers(0, 16384, size=(48, 80)).astype(np.int64)
+    p = tmp_path / "ll1.arw"
+    expected = write_arw_lossless(p, pix, tile=(80, 48))
+    frame = load_raw(p)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+    p2 = tmp_path / "ll2.arw"
+    expected = write_arw_lossless(p2, pix, tile=(64, 32))  # overhang
+    frame = load_raw(p2)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_arw_lossless_develops(tmp_path):
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import develop
+    from tests.util_arw import write_arw_lossless
+
+    rng = np.random.default_rng(9)
+    pix = (rng.integers(600, 12000, size=(64, 96))).astype(np.int64)
+    p = tmp_path / "lldev.arw"
+    write_arw_lossless(p, pix, model="ILCE-7M3")
+    frame = load_raw(p)
+    # camconst levels still apply to the lossless container
+    assert frame.black[0] == 512
+    pp = ProcParams()
+    pp.raw.bayer.method = "bilinear"
+    out = np.asarray(develop(frame, pp))
+    assert out.shape == (3, 64, 96)
+    assert np.isfinite(out).all()
+
+
 def test_arw2_develops(tmp_path):
     """End-to-end: ARW2 file through the full develop pipeline."""
     from art_tpu.params import ProcParams

@@ -165,3 +165,114 @@ def write_arw2(path, pix, knots=DEFAULT_KNOTS, wb_rggb=(2100, 1024, 1024,
     curve = sony_curve(knots)
     expected = curve[(pix.astype(np.int64) << 1) & 0xFFF]
     return expected
+
+
+def quad_tiles(pix, tw, th):
+    """(H, W) mosaic -> list of (tile_index, (th//2, tw//2, 4)) quad
+    rasters in the LJ92 tile sample layout (group of 4 = 2x2 quad)."""
+    h, w = pix.shape
+    tiles = []
+    for ty in range(0, h, th):
+        for tx in range(0, w, tw):
+            tile = np.zeros((th, tw), np.int64)
+            sub = pix[ty : ty + th, tx : tx + tw]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            quads = np.stack(
+                [tile[0::2, 0::2], tile[0::2, 1::2],
+                 tile[1::2, 0::2], tile[1::2, 1::2]], axis=-1)
+            tiles.append(quads)
+    return tiles
+
+
+def write_arw_lossless(path, pix, tile=(64, 32), precision=14,
+                       wb_rggb=(2100, 1024, 1024, 1800), make="SONY",
+                       model="TEST-LL", iso=100, cfa=(0, 1, 1, 2)):
+    """Write a Sony lossless-compressed ARW: raw IFD with compression 7
+    and LJ92 tiles whose 4-component samples are 2x2 Bayer quads (the
+    layout LibRaw's sony_ljpeg_load_raw consumes; the reference reaches
+    this format only via its optional LibRaw backend, rawimage.h:81)."""
+    from tests.util_cr2 import lj92_encode_comps
+
+    h, w = pix.shape
+    tw, tile_h = tile
+    payloads = [lj92_encode_comps(q, precision=precision)
+                for q in quad_tiles(pix, tw, tile_h)]
+
+    entries = []
+
+    def add(tag, typ, vals):
+        packed = b"".join(
+            struct.pack("<" + {1: "B", 3: "H", 4: "I"}[typ], int(v))
+            for v in vals)
+        entries.append((tag, typ, len(vals), packed))
+
+    def add_str(tag, s):
+        entries.append((tag, 2, len(s) + 1, s.encode() + b"\0"))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [precision])
+    add(259, 3, [7])
+    add(262, 3, [32803])
+    add_str(271, make)
+    add_str(272, model)
+    add(274, 3, [1])
+    add(277, 3, [1])
+    add(322, 4, [tw])
+    add(323, 4, [tile_h])
+    add(33421, 3, [2, 2])
+    add(33422, 1, list(cfa))
+    add(34855, 3, [iso])
+    add(29459, 3, list(wb_rggb))
+    # tile offsets/counts patched after layout
+    add(324, 4, [0] * len(payloads))
+    add(325, 4, [len(p) for p in payloads])
+
+    entries.sort()
+    n = len(entries)
+    data_off = 8 + 2 + 12 * n + 4
+    blobs = bytearray()
+    fields = []
+    for tag, typ, count, packed in entries:
+        if len(packed) <= 4:
+            fields.append((tag, typ, count,
+                           packed + b"\0" * (4 - len(packed))))
+        else:
+            fields.append((tag, typ, count,
+                           struct.pack("<I", data_off + len(blobs))))
+            blobs += packed
+    tiles_off = data_off + len(blobs)
+    offs = []
+    pos = tiles_off
+    for p in payloads:
+        offs.append(pos)
+        pos += len(p)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    out += struct.pack("<H", n)
+    for tag, typ, count, field in fields:
+        if tag == 324:
+            if len(offs) == 1:
+                field = struct.pack("<I", offs[0])
+            else:
+                # multi-value: offsets live in the blob area — patch there
+                field = field  # placeholder, patched below
+        out += struct.pack("<HHI", tag, typ, count) + field
+    out += struct.pack("<I", 0)
+    out += blobs
+    for p in payloads:
+        out += p
+    # patch multi-value tile offsets inside the blob area
+    if len(offs) > 1:
+        blob_pos = data_off
+        for tag, typ, count, packed in entries:
+            size = len(packed)
+            if size <= 4:
+                continue
+            if tag == 324:
+                for i, o in enumerate(offs):
+                    out[blob_pos + 4 * i : blob_pos + 4 * i + 4] = (
+                        struct.pack("<I", o))
+            blob_pos += size
+    with open(path, "wb") as f:
+        f.write(out)
+    return pix.astype(np.uint16)
