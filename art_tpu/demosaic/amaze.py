@@ -77,6 +77,31 @@ class _Shifter:
 HALO = 24  # cumulative stencil reach of the stage chain
 
 
+def _make_rcp(fast):
+    """Reciprocals for the stage math. fast=True (Pallas TPU path only)
+    uses the VPU's approximate reciprocal: ~40 divides/pixel across the
+    stage chain are the single largest VPU cost, and the full-precision
+    divide sequence is ~3x the estimate's cost. Returns (rcp, rcp_w):
+    `rcp` refines with one Newton step (rel err ~1e-7) and guards every
+    value-bearing ratio; `rcp_w` is the raw estimate (~2e-4) for blend
+    weights, where the error only perturbs an interpolation factor.
+    The whole-plane XLA path keeps exact division (golden comparisons).
+    """
+    if not fast:
+        exact = lambda d: 1.0 / d
+        return exact, exact
+    from jax.experimental import pallas as pl
+
+    def rcp(d):
+        r = pl.reciprocal(d, approx=True)
+        return r * (2.0 - d * r)
+
+    def rcp_w(d):
+        return pl.reciprocal(d, approx=True)
+
+    return rcp, rcp_w
+
+
 def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
                 _skip_diag=False, _skip_nyq=False):
     """All AMaZE stages on a normalized window with roll shifts."""
@@ -86,12 +111,13 @@ def _amaze_core(x, mr, mg, mb, clip_pt, clip_pt8,
                         _skip_diag=_skip_diag)
 
 
-def _stages_1to4(x, mg, clip_pt, clip_pt8):
+def _stages_1to4(x, mg, clip_pt, clip_pt8, fast=False):
     """Stages 1-4: directional cd estimates + hvwt discrimination.
 
     Stencil reach ~9; returns (vcd, hcd, hvwt). This is the first Pallas
     stage kernel — the cross-kernel state is just these three planes.
     """
+    rcp, rcp_w = _make_rcp(fast)
     s = _Shifter(x, 4)
 
     # ---- stage 1: gradients -------------------------------------------------
@@ -105,13 +131,13 @@ def _stages_1to4(x, mg, clip_pt, clip_pt8):
     sd1 = _Shifter(dirwts1, 2)
 
     # ---- stage 2: cardinal G estimates + color differences ------------------
-    cru = s(-1, 0) * (sd0(-2, 0) + dirwts0) / (
+    cru = s(-1, 0) * (sd0(-2, 0) + dirwts0) * rcp(
         sd0(-2, 0) * (EPS + x) + dirwts0 * (EPS + s(-2, 0)))
-    crd = s(1, 0) * (sd0(2, 0) + dirwts0) / (
+    crd = s(1, 0) * (sd0(2, 0) + dirwts0) * rcp(
         sd0(2, 0) * (EPS + x) + dirwts0 * (EPS + s(2, 0)))
-    crl = s(0, -1) * (sd1(0, -2) + dirwts1) / (
+    crl = s(0, -1) * (sd1(0, -2) + dirwts1) * rcp(
         sd1(0, -2) * (EPS + x) + dirwts1 * (EPS + s(0, -2)))
-    crr = s(0, 1) * (sd1(0, 2) + dirwts1) / (
+    crr = s(0, 1) * (sd1(0, 2) + dirwts1) * rcp(
         sd1(0, 2) * (EPS + x) + dirwts1 * (EPS + s(0, 2)))
 
     guha = s(-1, 0) + 0.5 * (x - s(-2, 0))
@@ -124,8 +150,8 @@ def _stages_1to4(x, mg, clip_pt, clip_pt8):
     glar = jnp.where(jnp.abs(1.0 - crl) < ARTHRESH, x * crl, glha)
     grar = jnp.where(jnp.abs(1.0 - crr) < ARTHRESH, x * crr, grha)
 
-    hwt = sd1(0, -1) / (sd1(0, -1) + sd1(0, 1))
-    vwt = sd0(-1, 0) / (sd0(1, 0) + sd0(-1, 0))
+    hwt = sd1(0, -1) * rcp_w(sd1(0, -1) + sd1(0, 1))
+    vwt = sd0(-1, 0) * rcp_w(sd0(1, 0) + sd0(-1, 0))
 
     gintvha = vwt * gdha + (1.0 - vwt) * guha
     ginthha = hwt * grha + (1.0 - hwt) * glha
@@ -170,7 +196,7 @@ def _stages_1to4(x, mg, clip_pt, clip_pt8):
         gint_other = x - cd  # interpolated R/B at this G site
         med = _med3(gint_other, n_m, n_p)
         strong = 3.0 * cd > (gint_other + x)
-        wt = 1.0 - 3.0 * cd / (EPS + gint_other + x)
+        wt = 1.0 - 3.0 * cd * rcp_w(EPS + gint_other + x)
         blended = wt * cd + (1.0 - wt) * (x - med)
         out = jnp.where(cd > 0, jnp.where(strong, x - med, blended), cd)
         return jnp.where(gint_other > clip_pt, x - med, out)
@@ -179,7 +205,7 @@ def _stages_1to4(x, mg, clip_pt, clip_pt8):
         gint = cd + x
         med = _med3(gint, n_m, n_p)
         strong = 3.0 * cd < -(gint + x)
-        wt = 1.0 + 3.0 * cd / (EPS + gint + x)
+        wt = 1.0 + 3.0 * cd * rcp_w(EPS + gint + x)
         blended = wt * cd + (1.0 - wt) * (med - x)
         out = jnp.where(cd < 0, jnp.where(strong, med - x, blended), cd)
         return jnp.where(gint > clip_pt, med - x, out)
@@ -218,20 +244,21 @@ def _stages_1to4(x, mg, clip_pt, clip_pt8):
     vcdvar1 = EPSSQ + vwt * fluctv_d + (1.0 - vwt) * fluctv_u
     hcdvar1 = EPSSQ + hwt * flucth_r + (1.0 - hwt) * flucth_l
 
-    varwt = hcdvar_d / (vcdvar_d + hcdvar_d)
-    diffwt = hcdvar1 / (vcdvar1 + hcdvar1)
+    varwt = hcdvar_d * rcp_w(vcdvar_d + hcdvar_d)
+    diffwt = hcdvar1 * rcp_w(vcdvar1 + hcdvar1)
     agree = ((0.5 - varwt) * (0.5 - diffwt) > 0) & (
         jnp.abs(0.5 - diffwt) < jnp.abs(0.5 - varwt))
     hvwt = jnp.where(agree, varwt, diffwt)
     return vcd, hcd, hvwt
 
 
-def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False):
+def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False, fast=False):
     """Stages 5-6: Nyquist texture handling + G at R/B sites.
 
     Stencil reach ~10 (area stats out to +-6 over the nyquist flags);
     returns (green, hvwt) with the stage-6 hvwt smoothing applied.
     """
+    rcp, rcp_w = _make_rcp(fast)
     m_rb = ~mg
     s = _Shifter(x, 4)
     delh = jnp.abs(s(0, 1) - s(0, -1))
@@ -272,18 +299,21 @@ def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False):
     cfav = s(-1, 0) + s(1, 0)
     sqh = (x - s(0, -1)) ** 2 + (x - s(0, 1)) ** 2
     sqv = (x - s(-1, 0)) ** 2 + (x - s(1, 0)) ** 2
-    # 7x7 quincunx box sums, separable: rows (step 2) then cols (step 2)
-    # — 14 shifts per plane instead of 49
+    # 7x7 quincunx box sums, separable rows-then-cols with a log-tree per
+    # dim: 7 step-2 taps = 4+2+1 partial sums (4 shifts + 3 adds instead
+    # of 6 shifts + 6 adds; u1/u2 cover {0,2}/{0,2,4,6}, +{8,10}, +{12},
+    # recentered by +6)
+    def _sum7(v, axis):
+        def r(z, d):
+            return jnp.roll(z, -d, axis=axis)
+
+        u1 = v + r(v, 2)
+        u2 = u1 + r(u1, 4)
+        s = u2 + r(u1, 8) + r(v, 12)
+        return jnp.roll(s, 6, axis=axis)
+
     def _area_sum(a):
-        sa = _Shifter(a, 6)
-        rows = a
-        for i in (-6, -4, -2, 2, 4, 6):
-            rows = rows + sa(i, 0)
-        sr = _Shifter(rows, 6)
-        out = rows
-        for j in (-6, -4, -2, 2, 4, 6):
-            out = out + sr(0, j)
-        return out
+        return _sum7(_sum7(a, 0), 1)
 
     sumcfa = _area_sum(x * ny2f)
     sumh = _area_sum(cfah * ny2f)
@@ -296,7 +326,7 @@ def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False):
     areawt = 0.5 * areawt
     hcdvar_a = EPSSQ + jnp.abs(areawt * sumsqh - sumh * sumh)
     vcdvar_a = EPSSQ + jnp.abs(areawt * sumsqv - sumv * sumv)
-    hvwt = jnp.where(nyquist2, hcdvar_a / (vcdvar_a + hcdvar_a), hvwt)
+    hvwt = jnp.where(nyquist2, hcdvar_a * rcp_w(vcdvar_a + hcdvar_a), hvwt)
 
     # ---- stage 6: G at R/B sites --------------------------------------------
     shv = _Shifter(hvwt, 1)
@@ -326,18 +356,21 @@ def _stages_5to6(x, mg, vcd, hcd, hvwt, _skip_nyq=False):
     gvarh = EPSSQ + _gquinc_avg(sch)
     gvarv = EPSSQ + _gquinc_avg(scv)
     dgrb0 = jnp.where(nyquist2,
-                      (hcd * gvarv + vcd * gvarh) / (gvarv + gvarh), dgrb0)
+                      (hcd * gvarv + vcd * gvarh) * rcp(gvarv + gvarh),
+                      dgrb0)
     green = jnp.where(m_rb, x + dgrb0, green)
     return green, hvwt
 
 
-def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
+def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False,
+                 fast=False):
     """Stages 7-8: diagonal R/B interpolation + chrominance.
 
     dgrb0 is recovered as green - x (exact at R/B sites); dirwts are
     recomputed from x (cheaper than carrying them across kernels).
     Stencil reach ~11; returns the (3, H, W) RGB stack in 0..65535.
     """
+    rcp, rcp_w = _make_rcp(fast)
     m_rb = ~mg
     s = _Shifter(x, 4)
     delh = jnp.abs(s(0, 1) - s(0, -1))
@@ -355,10 +388,10 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
     dgrbsq1p = (x - s(1, -1)) ** 2 + (x - s(-1, 1)) ** 2
     dgrbsq1m = (x - s(-1, -1)) ** 2 + (x - s(1, 1)) ** 2
 
-    crse = 2.0 * s(1, 1) / (EPS + x + s(2, 2))
-    crnw = 2.0 * s(-1, -1) / (EPS + x + s(-2, -2))
-    crne = 2.0 * s(-1, 1) / (EPS + x + s(-2, 2))
-    crsw = 2.0 * s(1, -1) / (EPS + x + s(2, -2))
+    crse = 2.0 * s(1, 1) * rcp(EPS + x + s(2, 2))
+    crnw = 2.0 * s(-1, -1) * rcp(EPS + x + s(-2, -2))
+    crne = 2.0 * s(-1, 1) * rcp(EPS + x + s(-2, 2))
+    crsw = 2.0 * s(1, -1) * rcp(EPS + x + s(2, -2))
 
     rbse = jnp.where(jnp.abs(1.0 - crse) < ARTHRESH, x * crse,
                      s(1, 1) + 0.5 * (x - s(2, 2)))
@@ -376,8 +409,8 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
     wtne = EPS + delp + sdp(-1, 1) + sdp(-2, 2)
     wtsw = EPS + delp + sdp(1, -1) + sdp(2, -2)
 
-    rbm = (wtse * rbnw + wtnw * rbse) / (wtse + wtnw)
-    rbp = (wtne * rbsw + wtsw * rbne) / (wtne + wtsw)
+    rbm = (wtse * rbnw + wtnw * rbse) * rcp(wtse + wtnw)
+    rbp = (wtne * rbsw + wtsw * rbne) * rcp(wtne + wtsw)
 
     sq1m = _Shifter(dgrbsq1m, 3)
     sq1p = _Shifter(dgrbsq1p, 3)
@@ -391,13 +424,13 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
         + GAUSSEVEN[1] * (sq1p(-2, -1) + sq1p(-2, 1) + sq1p(-1, -2)
                           + sq1p(-1, 2) + sq1p(1, -2) + sq1p(1, 2)
                           + sq1p(2, -1) + sq1p(2, 1)))
-    pmwt = rbvarm / (rbvarp + rbvarm)
+    pmwt = rbvarm * rcp_w(rbvarp + rbvarm)
 
     # saturation bounding of rbp/rbm
     def _bound_rb(rb, n_m, n_p):
         med = _med3(rb, n_m, n_p)
         strong = 2.0 * rb < x
-        wt = 2.0 * (x - rb) / (EPS + rb + x)
+        wt = 2.0 * (x - rb) * rcp_w(EPS + rb + x)
         blended = wt * rb + (1.0 - wt) * med
         out = jnp.where(rb < x, jnp.where(strong, med, blended), rb)
         return jnp.where(out > clip_pt, _med3(out, n_m, n_p), out)
@@ -415,10 +448,10 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
     # NOTE: the reference's rbint[indx1 +- v1/1] are HALF-index offsets —
     # they address the same-coset R/B site 2 rows/cols away.
     sri = _Shifter(rbint, 2)
-    cru2 = s(-1, 0) * 2.0 / (EPS + rbint + sri(-2, 0))
-    crd2 = s(1, 0) * 2.0 / (EPS + rbint + sri(2, 0))
-    crl2 = s(0, -1) * 2.0 / (EPS + rbint + sri(0, -2))
-    crr2 = s(0, 1) * 2.0 / (EPS + rbint + sri(0, 2))
+    cru2 = s(-1, 0) * 2.0 * rcp(EPS + rbint + sri(-2, 0))
+    crd2 = s(1, 0) * 2.0 * rcp(EPS + rbint + sri(2, 0))
+    crl2 = s(0, -1) * 2.0 * rcp(EPS + rbint + sri(0, -2))
+    crr2 = s(0, 1) * 2.0 * rcp(EPS + rbint + sri(0, 2))
     gu = jnp.where(jnp.abs(1.0 - cru2) < ARTHRESH, rbint * cru2,
                    s(-1, 0) + 0.5 * (rbint - sri(-2, 0)))
     gd = jnp.where(jnp.abs(1.0 - crd2) < ARTHRESH, rbint * crd2,
@@ -428,13 +461,13 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
     gr = jnp.where(jnp.abs(1.0 - crr2) < ARTHRESH, rbint * crr2,
                    s(0, 1) + 0.5 * (rbint - sri(0, 2)))
 
-    gintv = (sd0(-1, 0) * gd + sd0(1, 0) * gu) / (sd0(1, 0) + sd0(-1, 0))
-    ginth = (sd1(0, -1) * gr + sd1(0, 1) * gl) / (sd1(0, -1) + sd1(0, 1))
+    gintv = (sd0(-1, 0) * gd + sd0(1, 0) * gu) * rcp(sd0(1, 0) + sd0(-1, 0))
+    ginth = (sd1(0, -1) * gr + sd1(0, 1) * gl) * rcp(sd1(0, -1) + sd1(0, 1))
 
     def _bound_g2(g, n_m, n_p):
         med = _med3(g, n_m, n_p)
         strong = 2.0 * g < rbint
-        wt = 2.0 * (rbint - g) / (EPS + g + rbint)
+        wt = 2.0 * (rbint - g) * rcp_w(EPS + g + rbint)
         blended = wt * g + (1.0 - wt) * med
         out = jnp.where(g < rbint, jnp.where(strong, med, blended), g)
         return jnp.where(out > clip_pt, _med3(out, n_m, n_p), out)
@@ -465,14 +498,14 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
         ne3 = sdg(-3, 3)
         sw3 = sdg(3, -3)
         se3 = sdg(3, 3)
-        wtnw = 1.0 / (EPS + jnp.abs(nw - se) + jnp.abs(nw - nw3)
-                      + jnp.abs(se - nw3))
-        wtne = 1.0 / (EPS + jnp.abs(ne - sw) + jnp.abs(ne - ne3)
-                      + jnp.abs(sw - ne3))
-        wtsw = 1.0 / (EPS + jnp.abs(sw - ne) + jnp.abs(sw - se3)
-                      + jnp.abs(ne - sw3))
-        wtse = 1.0 / (EPS + jnp.abs(se - nw) + jnp.abs(se - sw3)
-                      + jnp.abs(nw - se3))
+        wtnw = rcp_w(EPS + jnp.abs(nw - se) + jnp.abs(nw - nw3)
+                   + jnp.abs(se - nw3))
+        wtne = rcp_w(EPS + jnp.abs(ne - sw) + jnp.abs(ne - ne3)
+                   + jnp.abs(sw - ne3))
+        wtsw = rcp_w(EPS + jnp.abs(sw - ne) + jnp.abs(sw - se3)
+                   + jnp.abs(ne - sw3))
+        wtse = rcp_w(EPS + jnp.abs(se - nw) + jnp.abs(se - sw3)
+                   + jnp.abs(nw - se3))
         est = (wtnw * (1.325 * nw - 0.175 * nw3 - 0.075 * sdg(-1, -3)
                        - 0.075 * sdg(-3, -1))
                + wtne * (1.325 * ne - 0.175 * ne3 + -0.075 * sdg(-1, 3)
@@ -480,7 +513,8 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
                + wtsw * (1.325 * sw - 0.175 * sw3 - 0.075 * sdg(1, -3)
                          - 0.075 * sdg(3, -1))
                + wtse * (1.325 * se - 0.175 * se3 - 0.075 * sdg(1, 3)
-                         - 0.075 * sdg(3, 1))) / (wtnw + wtne + wtsw + wtse)
+                         - 0.075 * sdg(3, 1))) * rcp(wtnw + wtne + wtsw
+                                                     + wtse)
         return jnp.where(m_src, dg, jnp.where(m_rb, est, 0.0))
 
     dgr = _propagate_to_opposite(dgr, mr)
@@ -490,11 +524,14 @@ def _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt, _skip_diag=False):
     shw = _Shifter(hvwt, 1)
     sr_ = _Shifter(dgr, 1)
     sb_ = _Shifter(dgb, 1)
-    wsum = shw(-1, 0) + shw(1, 0) + (1.0 - shw(0, -1)) + (1.0 - shw(0, 1))
+    iwsum = rcp(shw(-1, 0) + shw(1, 0) + (1.0 - shw(0, -1))
+                + (1.0 - shw(0, 1)))
     dgr_g = (shw(-1, 0) * sr_(-1, 0) + (1.0 - shw(0, 1)) * sr_(0, 1)
-             + (1.0 - shw(0, -1)) * sr_(0, -1) + shw(1, 0) * sr_(1, 0)) / wsum
+             + (1.0 - shw(0, -1)) * sr_(0, -1)
+             + shw(1, 0) * sr_(1, 0)) * iwsum
     dgb_g = (shw(-1, 0) * sb_(-1, 0) + (1.0 - shw(0, 1)) * sb_(0, 1)
-             + (1.0 - shw(0, -1)) * sb_(0, -1) + shw(1, 0) * sb_(1, 0)) / wsum
+             + (1.0 - shw(0, -1)) * sb_(0, -1)
+             + shw(1, 0) * sb_(1, 0)) * iwsum
     dgr = jnp.where(mg, dgr_g, dgr)
     dgb = jnp.where(mg, dgb_g, dgb)
 

@@ -109,14 +109,17 @@ def _stage_call(stage, in_planes, n_out, pattern, shape, dtype, interpret,
         mr, mg, mb = _parity_masks(pattern, (wy, wx))
         clip_pt = clips_ref[0, 0]
         clip_pt8 = clips_ref[0, 1]
+        # fast=True: VPU approx reciprocal + 1 Newton step for the ~40
+        # divides/pixel (see amaze._make_rcp); Pallas TPU path only
         if stage == 1:
-            res = _stages_1to4(planes[0], mg, clip_pt, clip_pt8)
+            res = _stages_1to4(planes[0], mg, clip_pt, clip_pt8, fast=True)
         elif stage == 2:
             x, vcd, hcd, hvwt = planes
-            res = _stages_5to6(x, mg, vcd, hcd, hvwt)
+            res = _stages_5to6(x, mg, vcd, hcd, hvwt, fast=True)
         else:
             x, green, hvwt = planes
-            rgb = _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt)
+            rgb = _stages_7to8(x, mr, mg, mb, green, hvwt, clip_pt,
+                               fast=True)
             res = (rgb,)
         if final:
             out[:] = res[0][:, HALO_Y : HALO_Y + TILE_Y,

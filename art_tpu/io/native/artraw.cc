@@ -447,6 +447,7 @@ struct ArtRawMeta {
     int32_t xtrans[36];      // 6x6 X-Trans pattern row-major; [0]=-1 if n/a
     char make[64];
     char model[64];
+    int32_t channels;        // 0/1 = mosaic or gray; 3 = Foveon planes
 };
 
 // Decode a DNG buffer. On success fills meta and returns a malloc'd
@@ -4563,9 +4564,378 @@ static uint16_t* decode_mrw(const uint8_t* buf, size_t len,
 
 uint16_t* artraw_decode(const uint8_t* buf, size_t len, ArtRawMeta* meta);
 
+// ---------------------------------------------------------------------------
+// Sigma X3F (Foveon). Reference decode boundary: rtengine/dcraw.cc
+// parse_foveon (dcraw.cc:7899), foveon_dp_load_raw (:3867, the "TRUE"
+// engine of Merrill/DP/SD1 bodies: three planes of ljpeg-style
+// differential huffman with dual row-parity predictors),
+// foveon_sd_load_raw (:3820, SD9-SD14: shared-tree huffman over a
+// 1024-entry diff table, or 10-bit packed words) and foveon_decoder
+// (:3749). ART treats Foveon frames as non-mosaic 3-color images
+// (filters = 0, dcraw.cc:9917-9921; ST_FOVEON, rawimage.cc:115) and
+// never runs dcraw's foveon_interpolate() color pipeline — the camera
+// matrix comes from camconst and WB from the matrix-derived neutral.
+// Honest provenance, as with CRX: the bitstream model follows dcraw
+// (the only public spec); the code is a fresh structured
+// implementation with bounds guards dcraw lacks. Scope: raw section
+// formats 30 (TRUE), 6 (huffman tree) and 5 (packed); Quattro (35,
+// mixed-resolution planes) routes to the preconverter hook.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// MSB-first bit reader over a byte range (TRUE-engine planes; the
+// stream is not ff-stuffed)
+struct X3FBits {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint64_t acc = 0;
+    int n = 0;
+    X3FBits(const uint8_t* p_, const uint8_t* e) : p(p_), end(e) {}
+    void fill(int nb) {
+        while (n < nb) {
+            acc = (acc << 8) | (p < end ? *p++ : 0);
+            n += 8;
+        }
+    }
+    uint32_t get(int nb) {
+        if (!nb) return 0;
+        fill(nb);
+        n -= nb;
+        return (uint32_t)((acc >> n) & ((1ull << nb) - 1));
+    }
+    uint32_t peek8() {
+        fill(8);
+        return (uint32_t)((acc >> (n - 8)) & 0xff);
+    }
+    void drop(int nb) { n -= nb; }
+};
+
+static inline int x3f_extend(int v, int t) {
+    // ITU-T81 sign extension (same as ljpeg_diff)
+    if (t && v < (1 << (t - 1))) v -= (1 << t) - 1;
+    return v;
+}
+
+// dcraw's 32-bit big-endian group walker (foveon_sd_load_raw bit state:
+// bit counts down within each 4-byte refill group)
+struct X3FBits32 {
+    const uint8_t* p;
+    const uint8_t* end;
+    uint32_t bitbuf = 0;
+    int bit = -1;  // dcraw init: the row-0 quirk check must not fire
+    X3FBits32(const uint8_t* p_, const uint8_t* e) : p(p_), end(e) {}
+    int next() {
+        bit = (bit - 1) & 31;
+        if (bit == 31) {
+            bitbuf = 0;
+            for (int i = 0; i < 4; ++i)
+                bitbuf = (bitbuf << 8) | (p < end ? *p++ : 0);
+        }
+        return (bitbuf >> bit) & 1;
+    }
+};
+
+struct X3FNode {
+    int leaf = -1;
+    int br[2] = {-1, -1};
+};
+
+// foveon_decoder (dcraw.cc:3749): binary tree from a table of
+// (len<<27 | path) code words
+static void x3f_build_tree(std::vector<X3FNode>& nodes,
+                           const uint32_t* codes, int size, uint32_t code) {
+    int cur = (int)nodes.size();
+    nodes.push_back(X3FNode());
+    if (nodes.size() > 4096) return;  // bounded (dcraw caps at 2048)
+    if (code) {
+        for (int i = 0; i < size; ++i)
+            if (codes[i] == code) {
+                nodes[cur].leaf = i;
+                return;
+            }
+    }
+    int len = (int)(code >> 27);
+    if (len > 26) return;
+    code = (uint32_t)(len + 1) << 27 | (code & 0x3ffffff) << 1;
+    nodes[cur].br[0] = (int)nodes.size();
+    x3f_build_tree(nodes, codes, size, code);
+    if (nodes.size() > 4096) return;
+    nodes[cur].br[1] = (int)nodes.size();
+    x3f_build_tree(nodes, codes, size, code + 1);
+}
+
+// UTF-16LE -> ascii-ish copy (PROP values)
+static void x3f_gets(const uint8_t* buf, size_t len, size_t off, char* out,
+                     size_t outlen) {
+    size_t i = 0;
+    while (i + 1 < outlen && off + 1 < len) {
+        uint16_t ch = (uint16_t)(buf[off] | (buf[off + 1] << 8));
+        off += 2;
+        if (!ch) break;
+        out[i++] = (char)(ch < 128 ? ch : '?');
+    }
+    out[i] = 0;
+}
+
+// TRUE-engine plane (foveon_dp_load_raw inner loop): 8-bit-prefix
+// huffman of diff categories, dual column predictors, row-parity
+// vertical predictors for the first two columns
+static void x3f_true_plane(const uint8_t* data, const uint8_t* end,
+                           int width, int height,
+                           const uint8_t* tbl_len, const uint8_t* tbl_leaf,
+                           uint16_t* out, size_t stride) {
+    X3FBits br(data, end);
+    uint16_t vpred[2][2] = {{512, 512}, {512, 512}};
+    uint16_t hpred[2] = {0, 0};
+    for (int row = 0; row < height; ++row) {
+        for (int col = 0; col < width; ++col) {
+            uint32_t idx = br.peek8();
+            int clen = tbl_len[idx];
+            int t = tbl_leaf[idx];
+            if (!clen) return;  // invalid prefix
+            br.drop(clen);
+            int diff = x3f_extend((int)br.get(t), t);
+            if (col < 2)
+                hpred[col] = vpred[row & 1][col] =
+                    (uint16_t)(vpred[row & 1][col] + diff);
+            else
+                hpred[col & 1] = (uint16_t)(hpred[col & 1] + diff);
+            out[(size_t)row * stride + col] = hpred[col & 1];
+        }
+    }
+}
+
+}  // namespace
+
+static uint16_t* decode_x3f(const uint8_t* buf, size_t len,
+                            ArtRawMeta* meta) {
+    if (len < 44 || memcmp(buf, "FOVb", 4) != 0) return nullptr;
+    auto u32 = [&](size_t off) -> uint32_t {
+        if (off + 4 > len) return 0;
+        return (uint32_t)buf[off] | ((uint32_t)buf[off + 1] << 8)
+             | ((uint32_t)buf[off + 2] << 16)
+             | ((uint32_t)buf[off + 3] << 24);
+    };
+    uint32_t rotation = u32(36);  // degrees (parse_foveon flip)
+    size_t dir = u32(len - 4);
+    if (dir + 12 > len || memcmp(buf + dir, "SECd", 4) != 0) return nullptr;
+    uint32_t entries = u32(dir + 8);
+    if (entries > 64) entries = 64;
+
+    // pick the raw image section: prefer type 3 (raw), largest dims
+    size_t raw_off = 0, raw_len = 0;
+    int fmt = -1, width = 0, height = 0, stride = 0;
+    char make[64] = "SIGMA", model[64] = "", wbdesc[64] = "";
+    double iso = 100.0;
+    for (uint32_t e = 0; e < entries; ++e) {
+        size_t ent = dir + 12 + (size_t)e * 12;
+        if (ent + 12 > len) break;
+        size_t off = u32(ent);
+        size_t sz = u32(ent + 4);
+        if (off + 28 > len || off + sz > len) continue;
+        if (memcmp(buf + ent + 8, "IMA", 3) == 0) {
+            uint32_t type = u32(off + 8);
+            int f = (int)u32(off + 12);
+            int w = (int)u32(off + 16);
+            int h = (int)u32(off + 20);
+            bool raw_like = (f == 30 || f == 6 || f == 5 || f == 35);
+            if ((type == 3 || raw_like) && w > width && h > height) {
+                width = w;
+                height = h;
+                stride = (int)u32(off + 24);
+                fmt = f;
+                raw_off = off + 28;
+                raw_len = sz > 28 ? sz - 28 : 0;
+            }
+        } else if (memcmp(buf + ent + 8, "PROP", 4) == 0) {
+            // property list: UTF-16 name/value offset pairs (u16 units
+            // from the char data start at off+24+pent*8)
+            uint32_t pent = u32(off + 8);
+            if (pent > 256) pent = 256;
+            size_t tbl = off + 24;
+            size_t chars = tbl + (size_t)pent * 8;
+            for (uint32_t i = 0; i < pent; ++i) {
+                size_t noff = chars + (size_t)u32(tbl + 8 * i) * 2;
+                size_t voff = chars + (size_t)u32(tbl + 8 * i + 4) * 2;
+                char name[64], value[64];
+                x3f_gets(buf, len, noff, name, sizeof(name));
+                x3f_gets(buf, len, voff, value, sizeof(value));
+                if (!strcmp(name, "ISO")) iso = atof(value);
+                else if (!strcmp(name, "CAMMANUF"))
+                    strncpy(make, value, 63);
+                else if (!strcmp(name, "CAMMODEL"))
+                    strncpy(model, value, 63);
+                else if (!strcmp(name, "WB_DESC"))
+                    strncpy(wbdesc, value, 63);
+            }
+        }
+    }
+    (void)wbdesc;
+    if (fmt < 0 || width <= 0 || height <= 0 || width > 65535
+        || height > 65535)
+        return nullptr;
+    if (fmt == 35) return nullptr;  // Quattro: preconverter hook
+    const uint8_t* data = buf + raw_off;
+    const uint8_t* dend = data + raw_len;
+
+    size_t npix = (size_t)width * height;
+    uint16_t* out = (uint16_t*)calloc(npix * 3, sizeof(uint16_t));
+    if (!out) return nullptr;
+    bool ok = false;
+
+    if (fmt == 30) {
+        // TRUE engine header: 8 bytes skipped, 13 (clen, code) huffman
+        // pairs, 2 pad bytes, three u32 plane sizes; plane c data starts
+        // 16-byte aligned from the section data origin (roff[0] = 48)
+        if (raw_len >= 48) {
+            uint8_t tbl_len[256] = {0};
+            uint8_t tbl_leaf[256] = {0};
+            for (int i = 0; i < 13; ++i) {
+                int clen = data[8 + 2 * i];
+                int code = data[8 + 2 * i + 1];
+                if (clen > 8) continue;
+                for (int j = 0; j < (256 >> clen); ++j) {
+                    int k = code + j;
+                    if (k < 256) {
+                        tbl_len[k] = (uint8_t)clen;
+                        tbl_leaf[k] = (uint8_t)i;
+                    }
+                }
+            }
+            size_t roff[4];
+            roff[0] = 48;
+            bool sane = true;
+            for (int c = 0; c < 3; ++c) {
+                uint32_t plen = (uint32_t)(data[36 + 4 * c]
+                    | (data[36 + 4 * c + 1] << 8)
+                    | (data[36 + 4 * c + 2] << 16)
+                    | (data[36 + 4 * c + 3] << 24));
+                roff[c + 1] = (roff[c] + plen + 15) & ~(size_t)15;
+                if (roff[c + 1] > raw_len + 16) sane = false;
+            }
+            if (sane) {
+                for (int c = 0; c < 3; ++c) {
+                    const uint8_t* ps = data + roff[c];
+                    const uint8_t* pe =
+                        roff[c + 1] <= raw_len ? data + roff[c + 1] : dend;
+                    x3f_true_plane(ps, pe, width, height, tbl_len,
+                                   tbl_leaf, out + (size_t)c * npix,
+                                   width);
+                }
+                ok = true;
+            }
+        }
+    } else if (fmt == 5) {
+        // 10-bit packed: 1024-entry i16 diff table, then one u32 per
+        // pixel holding three indices (c-th 10 bits -> plane 2-c)
+        if (raw_len >= 2048 + npix * 4) {
+            int16_t difft[1024];
+            for (int i = 0; i < 1024; ++i)
+                difft[i] = (int16_t)(data[2 * i] | (data[2 * i + 1] << 8));
+            const uint8_t* q = data + 2048;
+            for (int row = 0; row < height; ++row) {
+                int pred[3] = {0, 0, 0};
+                for (int col = 0; col < width; ++col, q += 4) {
+                    uint32_t v = (uint32_t)q[0] | ((uint32_t)q[1] << 8)
+                               | ((uint32_t)q[2] << 16)
+                               | ((uint32_t)q[3] << 24);
+                    for (int c = 0; c < 3; ++c)
+                        pred[2 - c] += difft[(v >> (c * 10)) & 0x3ff];
+                    for (int c = 0; c < 3; ++c)
+                        out[(size_t)c * npix + (size_t)row * width + col] =
+                            (uint16_t)(pred[c] < 0 ? 0
+                                       : (pred[c] > 65535 ? 65535
+                                                          : pred[c]));
+                }
+            }
+            ok = true;
+        }
+    } else if (fmt == 6) {
+        // huffman tree over the diff table: 1024 i16 diffs, 1024 u32
+        // code words, then the row-aligned bitstream
+        if (raw_len >= 2048 + 4096) {
+            int16_t difft[1024];
+            for (int i = 0; i < 1024; ++i)
+                difft[i] = (int16_t)(data[2 * i] | (data[2 * i + 1] << 8));
+            std::vector<uint32_t> codes(1024);
+            for (int i = 0; i < 1024; ++i) {
+                size_t o = 2048 + 4 * (size_t)i;
+                codes[i] = (uint32_t)data[o] | ((uint32_t)data[o + 1] << 8)
+                         | ((uint32_t)data[o + 2] << 16)
+                         | ((uint32_t)data[o + 3] << 24);
+            }
+            std::vector<X3FNode> nodes;
+            nodes.reserve(2048);
+            x3f_build_tree(nodes, codes.data(), 1024, 0);
+            // model quirk (dcraw: atoi(model+2) < 14): SD9/SD10 streams
+            // carry an extra u32 at rows that start bit-aligned
+            int modelnum = 99;
+            if (model[0] == 'S' && model[1] == 'D') modelnum = atoi(model + 2);
+            X3FBits32 br(data + 2048 + 4096, dend);
+            ok = true;
+            for (int row = 0; row < height && ok; ++row) {
+                int pred[3] = {0, 0, 0};
+                if (br.bit == 0 && modelnum < 14) {
+                    for (int i = 0; i < 4; ++i)
+                        if (br.p < br.end) ++br.p;
+                }
+                br.bit = 0;
+                for (int col = 0; col < width; ++col) {
+                    for (int c = 0; c < 3; ++c) {
+                        int cur = 0;
+                        while (cur >= 0 && nodes[cur].br[0] >= 0)
+                            cur = nodes[cur].br[br.next()];
+                        if (cur < 0 || nodes[cur].leaf < 0) {
+                            ok = false;
+                            break;
+                        }
+                        pred[c] += difft[nodes[cur].leaf];
+                        out[(size_t)c * npix + (size_t)row * width + col] =
+                            (uint16_t)(pred[c] < 0 ? 0
+                                       : (pred[c] > 65535 ? 65535
+                                                          : pred[c]));
+                    }
+                    if (!ok) break;
+                }
+            }
+        }
+    }
+    if (!ok) {
+        free(out);
+        return nullptr;
+    }
+    (void)stride;
+
+    memset(meta, 0, sizeof(*meta));
+    meta->channels = 3;
+    meta->xtrans[0] = -1;
+    meta->width = width;
+    meta->height = height;
+    for (int i = 0; i < 4; ++i) meta->cfa_pattern[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->active_area[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->crop[i] = -1;
+    for (int i = 0; i < 4; ++i) meta->black[i] = 0.0;
+    // container carries no levels; camconst per-model values override
+    for (int i = 0; i < 4; ++i) meta->white[i] = 16383.0;
+    meta->iso = iso;
+    int o = 1;
+    switch (rotation % 360) {
+        case 90: o = 6; break;
+        case 180: o = 3; break;
+        case 270: o = 8; break;
+    }
+    meta->orientation = o;
+    strncpy(meta->make, make, 63);
+    strncpy(meta->model, model, 63);
+    return out;
+}
+
 uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
                             ArtRawMeta* meta) {
     if (len < 8) return nullptr;
+    if (memcmp(buf, "FOVb", 4) == 0)
+        return decode_x3f(buf, len, meta);
     if (len > 8 && buf[0] == 0 && memcmp(buf + 1, "MRM", 3) == 0)
         return decode_mrw(buf, len, meta);
     // Phase One IIQ: "IIII" magic within the first 32 bytes

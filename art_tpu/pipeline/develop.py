@@ -104,17 +104,24 @@ def plan(frame, pp, fast=False):
     }
 
     if frame.is_raw:
-        h, w = frame.cfa.shape
+        # Sigma Foveon X3F: 3 full-res planes, no mosaic (ST_FOVEON,
+        # rawimage.cc:115; filters=0 per dcraw.cc:9917). Demosaic is a
+        # passthrough; CFA-domain preprocessing does not apply.
+        foveon = frame.cfa.ndim == 3
+        h, w = frame.cfa.shape[-2:]
         cfa_padded, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
-        shape = cfa_padded.shape
+        shape = cfa_padded.shape[-2:]
         # raw scaling plan (scaleColors)
         bayer_adjust = None
         if frame.pattern is not None and pp.raw.bayer.black_enabled:
             b = pp.raw.bayer
             bayer_adjust = [b.black1, b.black0, b.black2, b.black3]
         raw_expos = pp.raw.expos if pp.raw.expos_enabled else 1.0
-        method = (pp.raw.bayer.method if frame.pattern is not None
-                  else pp.raw.xtrans.method)
+        if foveon:
+            method = "foveon"
+        else:
+            method = (pp.raw.bayer.method if frame.pattern is not None
+                      else pp.raw.xtrans.method)
         # pixel-shift needs the 3 extra frames; single-frame files fall
         # back to the flagship method (rawimagesource.cc:1888 fallback)
         pixelshift = False
@@ -153,18 +160,23 @@ def plan(frame, pp, fast=False):
                                                 "CustomMultLegacy"):
             m = np.asarray(pp.wb.mult, dtype=np.float64)
             wb_mults = np.array([m[0] / m[1], 1.0, m[2] / m[1]])
-        elif pp.wb.enabled and pp.wb.method == "Auto":
+        elif pp.wb.enabled and pp.wb.method == "Auto" and not foveon:
             from art_tpu.pipeline.autos import auto_wb_multipliers
 
             wb_mults = auto_wb_multipliers(frame)
         else:
             wb_mults = frame.camera_wb_mults()
 
-        splan = rawpre.scale_plan(
-            frame, bayer_adjust, raw_expos,
-            is_mono=(method == "mono"), wb_mults_rgb=wb_mults)
-        data["raw_offset"] = splan["offset_tile"]
-        data["raw_scale"] = splan["scale_tile"]
+        if foveon:
+            splan = rawpre.scale_plan_foveon(frame, raw_expos, wb_mults)
+            data["raw_offset"] = splan["offset3"]
+            data["raw_scale"] = splan["scale3"]
+        else:
+            splan = rawpre.scale_plan(
+                frame, bayer_adjust, raw_expos,
+                is_mono=(method == "mono"), wb_mults_rgb=wb_mults)
+            data["raw_offset"] = splan["offset_tile"]
+            data["raw_scale"] = splan["scale_tile"]
 
         mults, gain = wbmod.image_multipliers(
             frame, wb_mults, splan["scale_mul"], splan["c_white"],
@@ -177,7 +189,8 @@ def plan(frame, pp, fast=False):
                                             find_badpixels_for,
                                             parse_badpixels_file)
 
-        bp_file = find_badpixels_for(frame.make, frame.model)
+        bp_file = (None if foveon
+                   else find_badpixels_for(frame.make, frame.model))
         if bp_file:
             pts = parse_badpixels_file(bp_file)
             if pts:
@@ -228,9 +241,9 @@ def plan(frame, pp, fast=False):
         import os as _os
 
         darkframe = False
-        df_path = pp.raw.df_file if (pp.raw.df_enabled
+        df_path = pp.raw.df_file if (pp.raw.df_enabled and not foveon
                                      and pp.raw.df_file) else ""
-        if pp.raw.df_enabled and pp.raw.df_autoselect:
+        if pp.raw.df_enabled and pp.raw.df_autoselect and not foveon:
             from art_tpu.raw.dfff_managers import df_manager
 
             found = df_manager().search(
@@ -248,7 +261,8 @@ def plan(frame, pp, fast=False):
                 darkframe = True
         # embedded DNG gain map (FlatFieldUseEmbedded, gainmap.cc:179)
         gainmap = False
-        if pp.raw.ff_enabled and pp.raw.ff_embedded and frame.filename:
+        if (pp.raw.ff_enabled and pp.raw.ff_embedded and frame.filename
+                and not foveon):
             try:
                 from art_tpu.io.gainmap import (build_gain_plane,
                                                 parse_gain_maps,
@@ -267,9 +281,10 @@ def plan(frame, pp, fast=False):
             except Exception:
                 gainmap = False
         flatfield = None
-        ff_path = pp.raw.ff_file if (pp.raw.ff_enabled
+        ff_path = pp.raw.ff_file if (pp.raw.ff_enabled and not foveon
                                      and pp.raw.ff_file) else ""
-        if not gainmap and pp.raw.ff_enabled and pp.raw.ff_autoselect:
+        if (not gainmap and pp.raw.ff_enabled and pp.raw.ff_autoselect
+                and not foveon):
             from art_tpu.raw.dfff_managers import ff_manager
 
             found = ff_manager().search(
@@ -293,7 +308,8 @@ def plan(frame, pp, fast=False):
 
         # LCP vignette on the raw plane (rawimagesource.cc:1670-1704)
         lp = pp.lens_prof
-        if lp.method == "lcp" and lp.lcp_file and lp.use_vign:
+        if (lp.method == "lcp" and lp.lcp_file and lp.use_vign
+                and not foveon):
             from art_tpu.lens.lcp import parse_lcp
 
             prof = parse_lcp(lp.lcp_file)
@@ -309,7 +325,8 @@ def plan(frame, pp, fast=False):
                         dtype=np.float32)
         # metadata-embedded / lensfun vignette on the raw plane
         # (lensexif.cc processVignette :617, rtlensfun.cc processVignette)
-        elif lp.method in ("exif", "lfauto", "lfmanual") and lp.use_vign:
+        elif (lp.method in ("exif", "lfauto", "lfmanual") and lp.use_vign
+              and not foveon):
             if lp.method == "exif":
                 from art_tpu.lens import exifcorr
 
@@ -330,8 +347,10 @@ def plan(frame, pp, fast=False):
                         [cx, cy, m2] + list(corr.vign_radial), np.float32)
 
         # highlight reconstruction mode (getImage, rawimagesource.cc:883-900)
+        # (HL recovery is CFA-clip-model based; not applicable to Foveon)
         hl_mode = "Off"
-        if pp.exposure.enabled and pp.exposure.hrmode != "Off":
+        if (pp.exposure.enabled and pp.exposure.hrmode != "Off"
+                and not foveon):
             hl_mode = {"Blend": "blend", "Color": "inpaint",
                        "ColorSoft": "opposed"}.get(pp.exposure.hrmode, "Off")
         if hl_mode != "Off":
@@ -802,7 +821,16 @@ def _build_run(config: PipelineConfig):
         and config.out_trc[0] in ("srgb", "linear"))
 
     def run(inp, data):
-        if config.is_raw:
+        if config.is_raw and config.demosaic_method == "foveon":
+            # Foveon: per-channel scaleColors on the (3, H, W) stack;
+            # demosaic is the identity (ST_FOVEON has no mosaic)
+            rgb = jnp.maximum(
+                (inp - data["raw_offset"]) * data["raw_scale"], 0.0)
+            if not fuse_head:
+                rgb = rgb * data["rgb_mults"][:, None, None]
+                if config.do_clip:
+                    rgb = jnp.clip(rgb, 0.0, MAXVAL)
+        elif config.is_raw:
             if config.darkframe:
                 from art_tpu.raw.dfff import subtract_dark
 
@@ -1054,11 +1082,22 @@ def _build_run(config: PipelineConfig):
                 rgb = jnp.clip(jnp.stack([r_, g_, b_]), 0.0, 1.0)
             else:
                 rgb = cs.encode_trc(rgb, config.out_trc, jnp)
-        if late:
-            rgb = rgb[:, :h0r, :w0r]
+        # late-crop programs return the PADDED planes: the slice to true
+        # dims is a pure ~0.6 ms HBM copy at 24MP as a device op, but a
+        # free view on the host after readback — callers apply
+        # `crop_result` to the fetched array.
         return rgb
 
     return run
+
+
+def crop_result(out_np, config: PipelineConfig):
+    """Slice a fetched executor output to true dims (no-op for programs
+    that already cropped/resized on device)."""
+    if not (config.late_crop and config.resize_to is None):
+        return out_np
+    h0r, w0r = config.orig_shape
+    return out_np[..., :h0r, :w0r]
 
 
 @functools.lru_cache(maxsize=64)
@@ -1074,7 +1113,7 @@ def develop(frame, pp, fast=False):
     else:
         inp, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
     out = _executor(config)(inp, data)
-    return np.asarray(out)
+    return crop_result(np.asarray(out), config)
 
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,

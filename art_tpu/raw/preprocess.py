@@ -100,6 +100,31 @@ def scale_plan(frame, bayer_black_adjust=None, raw_expos=1.0, is_mono=False,
     }
 
 
+def scale_plan_foveon(frame, raw_expos=1.0, wb_mults_rgb=None):
+    """scaleColors for 3-plane Foveon frames (the reference includes
+    ST_FOVEON in the Bayer-style scaling path, rawimagesource.cc:2687):
+    per-channel (black, scale) broadcast over the (3, H, W) stack."""
+    cblack = np.asarray(frame.black, dtype=np.float64).copy()
+    c_white = np.asarray(frame.white, dtype=np.float64)
+    c_white = (c_white - cblack) / raw_expos + cblack
+    pre_mul4 = frame.pre_mul()
+    if wb_mults_rgb is not None:
+        w4 = np.array([wb_mults_rgb[0], wb_mults_rgb[1], wb_mults_rgb[2],
+                       wb_mults_rgb[1]], dtype=np.float64)
+        pre_mul4 = pre_mul4 / w4
+    scale_mul, gain = calculate_scale_mul(pre_mul4, c_white, cblack)
+    clmax = (c_white - cblack) * scale_mul
+    return {
+        "offset3": cblack[:3].astype(np.float32).reshape(3, 1, 1),
+        "scale3": scale_mul[:3].astype(np.float32).reshape(3, 1, 1),
+        "scale_mul": scale_mul,
+        "gain": gain,
+        "clmax": clmax[:3],
+        "cblack": cblack,
+        "c_white": c_white,
+    }
+
+
 def apply_scale(cfa, offset_tile, scale_tile, xp):
     """Device-side: (raw - black) * scale with the periodic level pattern
     broadcast over the mosaic (scaleColors inner loop).

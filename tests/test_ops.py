@@ -401,6 +401,55 @@ def test_lab_adjustments_brightness_chromaticity():
     assert (out2[0] - out2[1]) > (base[0] - base[1]) + 0.01
 
 
+def test_lab_contrast_centers_on_image_mean():
+    """Contrast NURBS must center on the mean of brightness(L) — the
+    reference's histogram-derived avg (get_L_curve,
+    iplabadjustments.cc:93-116) — not on fixed mid-gray."""
+    import jax.numpy as jnp
+
+    from art_tpu.color import colorspaces as cs
+    from art_tpu.ops import labadj
+
+    pp = ProcParams()
+    pp.lab_curve.enabled = True
+    pp.lab_curve.contrast = 40
+    pp.lab_curve.brightness = 20
+    static, data = labadj.plan(pp, {"working_profile": "Rec2020"})
+    assert static[0] == 2  # avg-family mode
+
+    def ref_apply(rgb):
+        # exact reference formula with avg from the true image mean
+        work = cs.MATRICES_RGB_TO_XYZ["Rec2020"]
+        x = np.asarray(rgb) / 65535.0
+        xyz = np.einsum("ij,jhw->ihw", work, x)
+        L, a, b = cs.xyz_to_lab(xyz[0], xyz[1], xyz[2], np)
+        Ln = np.clip(L / 100.0, 0, 1)
+        bl = labadj._brightness_curve(20)
+
+        def through(v, lut):
+            idx = np.clip(v, 0, 1) * (len(lut) - 1)
+            i0 = idx.astype(int)
+            i1 = np.minimum(i0 + 1, len(lut) - 1)
+            return lut[i0] * (1 - (idx - i0)) + lut[i1] * (idx - i0)
+
+        Lb = through(Ln, bl)
+        cl = labadj._contrast_curve(40, avg=float(Lb.mean()))
+        Lc = through(Lb, cl) * 100.0
+        xo, yo, zo = cs.lab_to_xyz(Lc, a, b, np)
+        iws = np.linalg.inv(work)
+        return np.einsum("ij,jhw->ihw", iws,
+                         np.stack([xo, yo, zo])) * 65535.0
+
+    rng = np.random.default_rng(3)
+    for level in (0.15, 0.4, 0.75):  # non-neutral scene means
+        img = jnp.asarray(np.clip(
+            rng.uniform(level - 0.1, level + 0.1, (3, 32, 48)), 0, 1)
+            * 65535.0, jnp.float32)
+        ours = np.asarray(labadj.apply(img, data, static))
+        ref = ref_apply(img)
+        assert np.abs(ours - ref).max() / 65535.0 < 2e-3, level
+
+
 def test_coarse_rotation_and_flip():
     rng = np.random.default_rng(6)
     rgb = rng.uniform(0.1, 0.9, (3, 64, 96))

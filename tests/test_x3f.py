@@ -1,0 +1,118 @@
+"""Sigma X3F (Foveon) native decode tests.
+
+Reference behavior boundary: dcraw.cc parse_foveon (:7899),
+foveon_dp_load_raw (:3867), foveon_sd_load_raw (:3820),
+foveon_decoder (:3749); ART treats the frame as a non-mosaic 3-color
+image (ST_FOVEON, rawimage.cc:115; filters=0, dcraw.cc:9917) and never
+runs foveon_interpolate.
+"""
+
+import numpy as np
+import pytest
+
+from art_tpu.io.rawfile import load_raw
+from tests.util_x3f import write_x3f
+
+
+def _smooth_rgb(h, w, lo=400, hi=3800, seed=0):
+    """Smooth-ish planes: neighbor diffs bounded so every format's
+    category/table range holds."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(lo, hi, size=(3, 1, 1))
+    dy = rng.integers(-200, 201, size=(3, h, 1))
+    dx = rng.integers(-200, 201, size=(3, 1, w))
+    img = np.clip(base + dy + dx, 0, 4095)
+    return img.astype(np.int64)
+
+
+def test_x3f_true_roundtrip(tmp_path):
+    rgb = _smooth_rgb(24, 36)
+    p = tmp_path / "t.x3f"
+    expected = write_x3f(p, rgb, fmt=30, model="DP2 Merrill")
+    frame = load_raw(p)
+    assert frame.pattern is None and frame.xtrans is None
+    assert frame.cfa.shape == (3, 24, 36)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+    assert frame.make.upper().startswith("SIGMA")
+    assert frame.model == "DP2 Merrill"
+    assert frame.iso == 200
+
+
+def test_x3f_packed_roundtrip(tmp_path):
+    # diff-table reach is +-512/pixel: per-row values start near 0
+    rgb = _smooth_rgb(16, 20, lo=80, hi=420, seed=1) % 450
+    p = tmp_path / "p.x3f"
+    expected = write_x3f(p, rgb, fmt=5, model="SD10")
+    frame = load_raw(p)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_x3f_huffman_roundtrip(tmp_path):
+    # w=20: rows are not 32-bit aligned (600 % 32 != 0) -> no skip words
+    rgb = _smooth_rgb(12, 20, lo=80, hi=420, seed=2) % 450
+    p = tmp_path / "h.x3f"
+    expected = write_x3f(p, rgb, fmt=6, model="SD14")
+    frame = load_raw(p)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_x3f_huffman_sd9_row_skip_quirk(tmp_path):
+    # w=16: rows consume exactly 480 bits = 15 groups -> the SD9/SD10
+    # stream carries a dummy u32 between rows (dcraw model quirk)
+    rgb = _smooth_rgb(10, 16, lo=80, hi=420, seed=3) % 450
+    p = tmp_path / "q.x3f"
+    expected = write_x3f(p, rgb, fmt=6, model="SD9")
+    frame = load_raw(p)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_x3f_camconst_matrix(tmp_path):
+    rgb = _smooth_rgb(8, 12, seed=4)
+    p = tmp_path / "m.x3f"
+    write_x3f(p, rgb, fmt=30, model="DP2 Merrill")
+    frame = load_raw(p)
+    # bundled camconst carries the Sigma Merrill dcraw matrix
+    assert frame.cam_xyz is not None
+
+
+def test_x3f_develops(tmp_path):
+    """Full pipeline: X3F -> scale -> (no demosaic) -> output."""
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import develop
+
+    rgb = _smooth_rgb(32, 48, seed=5)
+    p = tmp_path / "d.x3f"
+    write_x3f(p, rgb, fmt=30, model="DP2 Merrill")
+    frame = load_raw(p)
+    pp = ProcParams()
+    out = np.asarray(develop(frame, pp))
+    assert out.shape == (3, 32, 48)
+    assert np.isfinite(out).all()
+    assert out.max() > 0.01
+
+
+def test_x3f_quattro_unsupported(tmp_path):
+    """Format 35 (Quattro mixed-resolution) routes to the preconverter
+    hook -> NotImplementedError when none is registered."""
+    import struct
+
+    from tests.util_x3f import _true_section_payload
+
+    rgb = _smooth_rgb(8, 12, seed=6)
+    payload = _true_section_payload(rgb)
+    header = bytearray(b"FOVb") + struct.pack("<I", 0x00020003)
+    header += b"\0" * 16 + struct.pack("<I", 0)
+    header += struct.pack("<III", 12, 8, 0)
+    img = bytearray(b"SECi") + struct.pack("<IIIIII", 0x00020003, 3, 35,
+                                           12, 8, 0) + payload
+    out = bytearray(header)
+    img_off = len(out)
+    out += img
+    dir_off = len(out)
+    out += b"SECd" + struct.pack("<II", 0x00020000, 1)
+    out += struct.pack("<II", img_off, len(img)) + b"IMAG"
+    out += struct.pack("<I", dir_off)
+    p = tmp_path / "quattro.x3f"
+    p.write_bytes(bytes(out))
+    with pytest.raises((NotImplementedError, ValueError)):
+        load_raw(p)
