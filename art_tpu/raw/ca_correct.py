@@ -1,16 +1,19 @@
-"""Raw chromatic aberration correction (reference: CA_correct_RT.cc).
+"""Raw chromatic aberration correction (reference: CA_correct_RT.cc:122).
 
-The reference fits per-tile polynomial shift surfaces of R/B relative to G
-on the Bayer mosaic (auto mode) or applies user radial coefficients
-(manual), then resamples the R/B subplanes by the fitted shifts.
+The reference estimates per-tile (ts=128) shifts of R/B relative to G on
+the Bayer mosaic, 3x3-median-filters the block shifts, fits a
+16-coefficient bivariate polynomial surface per (channel, direction)
+(polyord=4, CA_correct_RT.cc:746-836), and resamples the R/B subplanes
+by the fitted shift field. Manual mode applies user radial coefficients.
 
-TPU formulation: R and B live on half-resolution subgrids; correction is a
-radial rescale of each subgrid sampled with bilinear map_coordinates.
-Auto mode estimates the radial coefficient per channel by a least-squares
-match of block-wise shift estimates (gradient correlation of the channel
-difference against the G gradient) against the radial model — a global
-radial fit rather than the reference's tile polynomial surface (noted
-deviation; the dominant lateral-CA term is radial).
+TPU formulation: R and B live on half-resolution subgrids. Auto mode
+mirrors the reference: block shifts by gradient correlation, 3x3 median,
+weighted least-squares fit of a 4x4 Legendre-basis surface (the
+orthogonal basis keeps the f32 on-device solve well-conditioned), then a
+two-pass variable-shift bilinear warp built from masked rolls (a 24MP
+map_coordinates gather costs ~1.1s on v5e; the masked-roll warp is
+bandwidth-bound). Manual mode stays the axis-separable radial rescale
+(two MXU matmuls).
 """
 
 from __future__ import annotations
@@ -20,6 +23,8 @@ import numpy as np
 
 from art_tpu.core.image import bayer_color_index
 
+SHIFT_MAX = 4.0  # px on the subgrid (reference bounds block shifts too)
+
 
 def _subgrid_offsets(pattern, color):
     """(row0, col0) of the `color` subgrid in the 2x2 pattern."""
@@ -28,12 +33,62 @@ def _subgrid_offsets(pattern, color):
     return int(pos[0][0]), int(pos[0][1])
 
 
-def _estimate_radial(sub_c, sub_g, n_blocks=8):
-    """LS estimate of radial scale coefficient: shift(r) = c * r.
+def _legendre_terms(yn, xn, pairs):
+    """Products P_i(yn) P_j(xn) for (i, j) in `pairs`, [-1, 1] coords."""
 
-    Per block: d = argmin |C(x+d) - G|^2 ~ sum(diff * grad) / sum(grad^2)
-    along each axis; project onto the radial direction; fit c.
+    def P(t):
+        return (jnp.ones_like(t), t, 1.5 * t * t - 0.5,
+                2.5 * t * t * t - 1.5 * t)
+
+    py = P(yn)
+    px = P(xn)
+    return [py[i] * px[j] for i, j in pairs]
+
+
+def _term_pairs(n_blocks):
+    """Basis size by block count: the full 4x4 reference surface needs
+    enough tiles; small frames degrade to affine/quadratic fits."""
+    if n_blocks >= 48:
+        return [(i, j) for i in range(4) for j in range(4)]
+    if n_blocks >= 12:
+        return [(i, j) for i in range(3) for j in range(3) if i + j <= 2]
+    return [(0, 0), (0, 1), (1, 0)]
+
+
+def _block_shifts(sub_c, sub_g, bs=64):
+    """Per-block (dy, dx, weight) via gradient correlation.
+
+    Block size mirrors the reference's ts=128 mosaic tiles (64 on the
+    subgrid). d = argmin |C(x+d) - G|^2 ~ -sum(diff*grad)/sum(grad^2).
     """
+    h, w = sub_c.shape
+    nby = max(h // bs, 2)
+    nbx = max(w // bs, 2)
+    gy, gx = jnp.gradient(sub_g)
+    diff = sub_c - sub_g
+    num_x = diff * gx
+    num_y = diff * gy
+    den_x = gx * gx
+    den_y = gy * gy
+    bh = h // nby
+    bw = w // nbx
+
+    def block_sum(a):
+        a = a[: bh * nby, : bw * nbx]
+        return a.reshape(nby, bh, nbx, bw).sum(axis=(1, 3))
+
+    dx = -block_sum(num_x) / (block_sum(den_x) + 1e-3)
+    dy = -block_sum(num_y) / (block_sum(den_y) + 1e-3)
+    dx = jnp.clip(dx, -SHIFT_MAX, SHIFT_MAX)
+    dy = jnp.clip(dy, -SHIFT_MAX, SHIFT_MAX)
+    wgt = block_sum(den_x) + block_sum(den_y)
+    return dy, dx, wgt, (nby, nbx, bh, bw)
+
+
+def _estimate_radial(sub_c, sub_g, n_blocks=8):
+    """Global radial coefficient (shift = c * r) — the small-frame
+    fallback where 64px tiles don't exist: one pooled parameter averages
+    the per-block estimator noise that a free surface fit would absorb."""
     h, w = sub_c.shape
     gy, gx = jnp.gradient(sub_g)
     diff = sub_c - sub_g
@@ -41,7 +96,6 @@ def _estimate_radial(sub_c, sub_g, n_blocks=8):
     num_y = diff * gy
     den_x = gx * gx
     den_y = gy * gy
-
     bh = h // n_blocks
     bw = w // n_blocks
 
@@ -51,17 +105,79 @@ def _estimate_radial(sub_c, sub_g, n_blocks=8):
 
     dx = -block_sum(num_x) / (block_sum(den_x) + 1e-3)
     dy = -block_sum(num_y) / (block_sum(den_y) + 1e-3)
-    # block centers in centered coords
     cy = (jnp.arange(n_blocks) + 0.5) * bh - h / 2.0
     cx = (jnp.arange(n_blocks) + 0.5) * bw - w / 2.0
     yy = cy[:, None] * jnp.ones((1, n_blocks))
     xx = cx[None, :] * jnp.ones((n_blocks, 1))
-    # radial model: dx = c*x, dy = c*y -> c = sum(dx*x + dy*y)/sum(x^2+y^2)
     wgt = block_sum(den_x) + block_sum(den_y)
     wgt = wgt / (jnp.sum(wgt) + 1e-9)
     c = jnp.sum(wgt * (dx * xx + dy * yy)) / jnp.maximum(
         jnp.sum(wgt * (xx * xx + yy * yy)), 1e-9)
     return jnp.clip(c, -0.01, 0.01)
+
+
+def _median3x3(a):
+    """3x3 median over a small 2D block grid (edge-replicated), the
+    reference's robustness filter on blockshifts (:760-775)."""
+    ap = jnp.pad(a, 1, mode="edge")
+    vs = [ap[1 + dy : 1 + dy + a.shape[0], 1 + dx : 1 + dx + a.shape[1]]
+          for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    st = jnp.stack(vs)
+    return jnp.median(st, axis=0)
+
+
+def _fit_surface(dy, dx, wgt, geom, shape):
+    """Weighted LS fit of the 16-term surface; returns full-resolution
+    (sy, sx) shift fields for the subgrid."""
+    nby, nbx, bh, bw = geom
+    h, w = shape
+    dy = _median3x3(dy)
+    dx = _median3x3(dx)
+    pairs = _term_pairs(nby * nbx)
+    # block centers in [-1, 1]
+    cy = ((jnp.arange(nby) + 0.5) * bh) / h * 2.0 - 1.0
+    cx = ((jnp.arange(nbx) + 0.5) * bw) / w * 2.0 - 1.0
+    yn = jnp.repeat(cy, nbx)
+    xn = jnp.tile(cx, nby)
+    A = jnp.stack(_legendre_terms(yn, xn, pairs), axis=1)
+    wn = wgt.reshape(-1) / (jnp.sum(wgt) + 1e-9) + 1e-12
+    # ridge-regularized normal equations: the near-orthogonal Legendre
+    # basis keeps them well-conditioned in f32 (vs an SVD lstsq, whose
+    # TPU/CPU compile dominates plan latency)
+    AtW = A.T * wn[None, :]
+    G = AtW @ A + 1e-6 * jnp.eye(A.shape[1], dtype=A.dtype)
+    coeff_y = jnp.linalg.solve(G, AtW @ dy.reshape(-1))
+    coeff_x = jnp.linalg.solve(G, AtW @ dx.reshape(-1))
+
+    yy = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * 2.0 - 1.0
+    xx = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * 2.0 - 1.0
+    terms = _legendre_terms(yy[:, None], xx[None, :], pairs)
+    sy = sum(c * t for c, t in zip(coeff_y, terms))
+    sx = sum(c * t for c, t in zip(coeff_x, terms))
+    return (jnp.clip(sy, -SHIFT_MAX, SHIFT_MAX),
+            jnp.clip(sx, -SHIFT_MAX, SHIFT_MAX))
+
+
+def _warp_axis(a, shift, axis, dmax=int(SHIFT_MAX)):
+    """out(p) = a(p + shift(p)) along `axis`, bilinear, |shift|<=dmax.
+    Masked combination of rolled planes — no gather."""
+    shift = jnp.clip(shift, -dmax, dmax - 1e-3)
+    i = jnp.floor(shift)
+    f = shift - i
+    rolled = {d: jnp.roll(a, -d, axis) for d in range(-dmax, dmax + 2)}
+    out = jnp.zeros_like(a)
+    for d in range(-dmax, dmax + 1):
+        m = i == d
+        out = out + jnp.where(
+            m, (1.0 - f) * rolled[d] + f * rolled[d + 1], 0.0)
+    return out
+
+
+def _warp2d(sub, sy, sx):
+    """Two-pass spatially-varying bilinear warp (the cross term
+    sy * d(sx)/dy is second-order in the smooth CA field)."""
+    tmp = _warp_axis(sub, sy, 0)
+    return _warp_axis(tmp, sx, 1)
 
 
 def _axis_matrix(n, scale, dtype):
@@ -90,7 +206,6 @@ def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
     h, w = cfa.shape
     ry, rx = _subgrid_offsets(pattern, 0)
     by, bx = _subgrid_offsets(pattern, 2)
-    g1y, g1x = _subgrid_offsets(pattern, 1)
 
     # subgrid extraction through a (H/2, 2, W/2, 2) view: stride-2 24MP
     # slices cost ~50ms each on TPU, static small-dim indexing is free
@@ -105,15 +220,21 @@ def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
     g_r = gview[:, ry, :, rx]
     g_b = gview[:, by, :, bx]
 
-    if auto:
-        scale_r = _estimate_radial(sub_r, g_r)
-        scale_b = _estimate_radial(sub_b, g_b)
+    if auto and min(sub_r.shape) >= 256:
+        # reference-style per-tile surface (needs enough 64px tiles to
+        # average the block-estimator noise)
+        sy_r, sx_r = _fit_surface(*_block_shifts(sub_r, g_r),
+                                  shape=sub_r.shape)
+        sy_b, sx_b = _fit_surface(*_block_shifts(sub_b, g_b),
+                                  shape=sub_b.shape)
+        new_r = _warp2d(sub_r, sy_r, sx_r)
+        new_b = _warp2d(sub_b, sy_b, sx_b)
+    elif auto:
+        new_r = _resample_radial(sub_r, _estimate_radial(sub_r, g_r))
+        new_b = _resample_radial(sub_b, _estimate_radial(sub_b, g_b))
     else:
-        scale_r = jnp.float32(ca_red * 1e-3)
-        scale_b = jnp.float32(ca_blue * 1e-3)
-
-    new_r = _resample_radial(sub_r, scale_r)
-    new_b = _resample_radial(sub_b, scale_b)
+        new_r = _resample_radial(sub_r, jnp.float32(ca_red * 1e-3))
+        new_b = _resample_radial(sub_b, jnp.float32(ca_blue * 1e-3))
 
     # interleave through a (H/2, 2, W/2, 2) view: strided 24MP scatters
     # (.at[::2, ::2].set) lower to the slow scatter path on TPU

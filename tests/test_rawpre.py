@@ -114,6 +114,40 @@ def test_ca_correct_auto_reduces_fringing():
     assert misreg(out[:, 16:-16, 16:-16]) < misreg(base[:, 16:-16, 16:-16])
 
 
+def test_ca_correct_auto_captures_nonradial_shift():
+    """Pure-translation CA (tilted/decentered elements): a radial model
+    corrects nothing at the optical center; the reference's per-tile
+    polynomial surface (CA_correct_RT.cc:746-836) captures it via the
+    constant term. Synthetic: R shifted by a constant 1px."""
+    import cv2
+
+    h, w = 512, 512
+    rng = np.random.default_rng(14)
+    base_img = cv2.resize(rng.uniform(0.1, 0.9, (24, 24)), (w, h),
+                          interpolation=cv2.INTER_CUBIC)
+    rgb = np.stack([base_img] * 3)
+    rgb_ca = rgb.copy()
+    M = np.float32([[1, 0, 1.0], [0, 1, 0.6]])  # constant (dx=1, dy=0.6)
+    rgb_ca[0] = cv2.warpAffine(rgb[0], M, (w, h), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REPLICATE)
+    frame = synthesize_bayer(np.clip(rgb_ca, 0, 1))
+    pp = ProcParams()
+    pp.raw.ca_enabled = True
+    pp.raw.ca_autocorrect = True
+    out = develop(frame, pp)
+    base = develop(frame, ProcParams())
+
+    def misreg(img):
+        return np.abs(np.gradient(img[0] - img[1], axis=1)).mean()
+
+    m = slice(24, -24)
+    # must reduce clearly, including around the center where the radial
+    # model is pinned to zero
+    assert misreg(out[:, m, m]) < 0.7 * misreg(base[:, m, m])
+    c = slice(h // 2 - 24, h // 2 + 24)
+    assert misreg(out[:, c, c]) < 0.7 * misreg(base[:, c, c])
+
+
 def test_hl_inpaint_reconstructs_hue():
     """Blown orange core: inpaint must rebuild the surround's G/R ratio
     and push brightness past the clip level (hilite_recon.cc:299 role)."""
