@@ -85,7 +85,8 @@ def parse_args(argv):
             if len(a) > 2:
                 opts["quality"] = int(a[2:])
         elif a.startswith("-js"):
-            pass  # subsampling accepted for compat; PIL uses 4:4:4
+            # -js<1-3>: 1 = best compression (4:2:0) .. 3 = 4:4:4
+            opts["subsampling"] = int(a[3:] or 3)
         elif a.startswith("-t"):
             opts["format"] = "tif"
             # ART-cli: -t = uncompressed TIFF, -tz = deflate
@@ -346,7 +347,8 @@ def main(argv=None):
             process_image(inp, pp, fast=opts["fast"], output_path=outp,
                           bits=bits, quality=opts["quality"],
                           uncompressed=opts.get("tiff_uncompressed", False),
-                          gamut_warn=opts.get("gamut_warn"))
+                          gamut_warn=opts.get("gamut_warn"),
+                          subsampling=opts.get("subsampling", 3))
             dt = time.time() - t0
             done += 1
             _progress(done * 100.0 / n_files)

@@ -15,7 +15,7 @@ from art_tpu.core.image import MAXVAL
 
 def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
                exif_bytes=None, exif_tags=None, uncompressed=False,
-               xmp_bytes=None, iptc_iim=None):
+               xmp_bytes=None, iptc_iim=None, subsampling=3):
     """Save an encoded (post-TRC) RGB image in [0,1], shape (3, H, W).
 
     Output matrix per the reference (imageio.h:90-96, main-cli.cc:878-887):
@@ -31,14 +31,13 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
     d = os.path.dirname(str(path))
     if d:
         os.makedirs(d, exist_ok=True)
-    chw = np.clip(arr, 0.0, 1.0)
-    hwc = np.moveaxis(chw, 0, -1)
     path = str(path)
     lower = path.lower()
     if lower.endswith(".tif") or lower.endswith(".tiff"):
         from art_tpu.io.tiffwrite import write_tiff
 
-        write_tiff(path, chw, bits=bits, compress=not uncompressed,
+        write_tiff(path, np.clip(arr, 0.0, 1.0), bits=bits,
+                   compress=not uncompressed,
                    icc_bytes=icc_bytes, exif_tags=exif_tags,
                    xmp_bytes=xmp_bytes, iptc_iim=iptc_iim)
         return
@@ -46,14 +45,49 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
         # PIL PNG 16-bit is single channel only; use opencv for RGB48
         import cv2
 
-        data = (hwc * 65535.0 + 0.5).astype(np.uint16)
-        cv2.imwrite(path, cv2.cvtColor(data, cv2.COLOR_RGB2BGR))
+        hwc = np.moveaxis(np.clip(arr, 0.0, 1.0), 0, -1)
+        data16 = (hwc * 65535.0 + 0.5).astype(np.uint16)
+        cv2.imwrite(path, cv2.cvtColor(data16, cv2.COLOR_RGB2BGR))
         return
-    data = (hwc * 255.0 + 0.5).astype(np.uint8)
+    # 8-bit conversion on the contiguous CHW float (the strided HWC
+    # multiply costs ~4x on the host), then a byte-level transpose
+    u8 = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    data = np.ascontiguousarray(np.moveaxis(u8, 0, -1))
+    if lower.endswith(".jpg") or lower.endswith(".jpeg"):
+        # fast path: libjpeg-turbo via cv2 (~0.2s/24MP vs PIL ~3s on a
+        # 1-core host), EXIF/ICC inserted as raw APP1/APP2 segments —
+        # the encode throughput caps the batch queue (simpleprocess's
+        # saveAsJPEG role)
+        try:
+            import cv2
+
+            from art_tpu.io.xmp import insert_jpeg_app_segments
+
+            sampling = {1: cv2.IMWRITE_JPEG_SAMPLING_FACTOR_420,
+                        2: cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422,
+                        3: cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444}[
+                            int(subsampling or 3)]
+            ok = cv2.imwrite(path, data[:, :, ::-1],
+                             [cv2.IMWRITE_JPEG_QUALITY, int(quality),
+                              cv2.IMWRITE_JPEG_SAMPLING_FACTOR, sampling])
+            if ok:
+                insert_jpeg_app_segments(path, exif_bytes=exif_bytes,
+                                         icc_bytes=icc_bytes)
+                if xmp_bytes or iptc_iim:
+                    from art_tpu.io.xmp import insert_jpeg_segments
+
+                    insert_jpeg_segments(path, xmp_bytes=xmp_bytes,
+                                         iptc_iim=iptc_iim)
+                return
+        except Exception:
+            pass  # fall back to the PIL encoder below
     img = Image.fromarray(data, mode="RGB")
     kwargs = {}
     if lower.endswith(".jpg") or lower.endswith(".jpeg"):
-        kwargs.update(quality=quality, subsampling=0)
+        # ART-cli -js<1-3>: 1 = best compression (4:2:0), 2 = 4:2:2,
+        # 3 = best quality (4:4:4) — main-cli.cc JPEG subsampling switch
+        pil_sub = {1: 2, 2: 1, 3: 0}.get(int(subsampling or 3), 0)
+        kwargs.update(quality=quality, subsampling=pil_sub)
     if icc_bytes:
         kwargs.update(icc_profile=icc_bytes)
     if exif_bytes:

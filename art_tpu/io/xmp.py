@@ -276,6 +276,41 @@ def build_app13(iptc_iim):
 _XMP_APP1_HEADER = b"http://ns.adobe.com/xap/1.0/\x00"
 
 
+def insert_jpeg_app_segments(path, exif_bytes=None, icc_bytes=None):
+    """Insert APP1-EXIF / APP2-ICC segments into an existing JPEG
+    (right after SOI / any APP0), for encoders that emit bare streams
+    (the cv2/libjpeg-turbo fast path)."""
+    if not exif_bytes and not icc_bytes:
+        return True
+    with open(path, "rb") as f:
+        buf = f.read()
+    if buf[:2] != b"\xff\xd8":
+        return False
+    pos = 2
+    while pos + 4 <= len(buf) and buf[pos] == 0xFF and buf[pos + 1] == 0xE0:
+        pos += 2 + struct.unpack_from(">H", buf, pos + 2)[0]
+    segs = []
+    if exif_bytes:
+        payload = exif_bytes if exif_bytes[:4] == b"Exif" \
+            else b"Exif\x00\x00" + exif_bytes
+        if len(payload) + 2 <= 0xFFFF:
+            segs.append(b"\xff\xe1" + struct.pack(">H", len(payload) + 2)
+                        + payload)
+    if icc_bytes:
+        # ICC chunking per the ICC-in-JPEG spec (65519-byte payloads)
+        chunk = 0xFFFF - 2 - 14
+        parts = [icc_bytes[i : i + chunk]
+                 for i in range(0, len(icc_bytes), chunk)]
+        for i, part in enumerate(parts):
+            payload = (b"ICC_PROFILE\x00"
+                       + bytes([i + 1, len(parts)]) + part)
+            segs.append(b"\xff\xe2" + struct.pack(">H", len(payload) + 2)
+                        + payload)
+    with open(path, "wb") as f:
+        f.write(buf[:pos] + b"".join(segs) + buf[pos:])
+    return True
+
+
 def insert_jpeg_segments(path, xmp_bytes=None, iptc_iim=None):
     """Insert APP1-XMP / APP13-IPTC segments into an existing JPEG,
     after any leading APP0/APP1 segments."""

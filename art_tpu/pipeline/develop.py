@@ -1118,7 +1118,7 @@ def develop(frame, pp, fast=False):
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,
                   bits=8, quality=92, uncompressed=False,
-                  gamut_warn=None):
+                  gamut_warn=None, subsampling=3):
     """processImage equivalent (rtengine.h:604, simpleprocess.cc:580).
 
     gamut_warn: optional proof profile (preset name or matrix .icc
@@ -1227,7 +1227,8 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         save_image(output_path, out, bits=bits, quality=quality,
                    exif_bytes=exif_bytes, exif_tags=exif_tags,
                    icc_bytes=icc, uncompressed=uncompressed,
-                   xmp_bytes=xmp_bytes, iptc_iim=iptc_iim)
+                   xmp_bytes=xmp_bytes, iptc_iim=iptc_iim,
+                   subsampling=subsampling)
         if pp.metadata.mode == 0 and frame.filename:
             # tunnel mode: deep makernote copy via exiftool when the
             # binary exists (metadata.h:113 fallback; no-op otherwise)
