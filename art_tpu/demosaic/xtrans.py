@@ -98,15 +98,18 @@ def _med3x3(x):
     return jnp.median(jnp.stack(planes), axis=0)
 
 
-def xtrans_directional(cfa, xtrans_pattern, passes=1):
-    """Directional X-Trans demosaic for the Markesteijn-quality slots."""
+def green_directional(cfa, xtrans_pattern):
+    """Directional green candidates + energy-fused green.
+
+    Returns (g, g_h, g_v); g equals cfa at green sites. Exposed so the
+    hex-reference oracle test can bound the variant's divergence
+    (tests/util_xtrans_hexref.py).
+    """
     from art_tpu.core.image import xtrans_color_index_device
 
     h, w = cfa.shape
     cidx = xtrans_color_index_device(xtrans_pattern, (h, w))
-    mr = cidx == 0
     mg = cidx == 1
-    mb = cidx == 2
 
     gl = _green_at(xtrans_pattern, (h, w), 0, -1)
     gr = _green_at(xtrans_pattern, (h, w), 0, 1)
@@ -121,23 +124,87 @@ def xtrans_directional(cfa, xtrans_pattern, passes=1):
         return p[r + dy : r + dy + h, r + dx : r + dx + w]
 
     third = 1.0 / 3.0
-    # X-Trans row invariant: both near greens, or near@1 + far@2
-    g_h = jnp.where(gl & gr, 0.5 * (sh(0, -1) + sh(0, 1)),
+    # X-Trans row invariant: both near greens, or near@1 + far@2.
+    # Both-sides case: +/-1 AND +/-2 are all green (offsets 2 = -1
+    # mod 3), so use the reference's curvature-cancelling c0 weights
+    # (xtrans_demosaic.cc:439: 0.6796875/-0.1796875).
+    g_h = jnp.where(gl & gr,
+                    0.6796875 * (sh(0, -1) + sh(0, 1))
+                    - 0.1796875 * (sh(0, -2) + sh(0, 2)),
                     jnp.where(gl, (2.0 * sh(0, -1) + sh(0, 2)) * third,
                               (2.0 * sh(0, 1) + sh(0, -2)) * third))
-    g_v = jnp.where(gu & gd, 0.5 * (sh(-1, 0) + sh(1, 0)),
+    g_v = jnp.where(gu & gd,
+                    0.6796875 * (sh(-1, 0) + sh(1, 0))
+                    - 0.1796875 * (sh(-2, 0) + sh(2, 0)),
                     jnp.where(gu, (2.0 * sh(-1, 0) + sh(2, 0)) * third,
                               (2.0 * sh(1, 0) + sh(-2, 0)) * third))
 
-    # direction energies: first+second derivative magnitude, smoothed
+    # diagonal candidates (the reference's hex[4]/hex[5] pair,
+    # xtrans_demosaic.cc:445: 0.640625*G(+1) + 0.359375*G(-2) +
+    # 0.12890625*(2C(0) - C(+3) - C(-3))). Greenness is 3-periodic, so
+    # every non-green site has exactly one green at +/-1 on each
+    # diagonal, the opposite end at -/+2 green, and +/-3 same-color.
+    gd_ul = _green_at(xtrans_pattern, (h, w), -1, -1)
+    gd_ur = _green_at(xtrans_pattern, (h, w), -1, 1)
+    corr1 = 0.12890625 * (2.0 * x - sh(-3, -3) - sh(3, 3))
+    corr2 = 0.12890625 * (2.0 * x - sh(-3, 3) - sh(3, -3))
+    g_d1 = jnp.where(gd_ul,
+                     0.640625 * sh(-1, -1) + 0.359375 * sh(2, 2),
+                     0.640625 * sh(1, 1) + 0.359375 * sh(-2, -2)) + corr1
+    g_d2 = jnp.where(gd_ur,
+                     0.640625 * sh(-1, 1) + 0.359375 * sh(2, -2),
+                     0.640625 * sh(1, -1) + 0.359375 * sh(-2, 2)) + corr2
+
+    # direction energies: first+second derivative magnitude, smoothed;
+    # fusion weights are squared normalized inverse energies (the 2-dir
+    # e_v/(e_h+e_v) generalized to 4 directions; the square plays the
+    # reference's homogeneity vote — decisive on anisotropic content),
+    # with a 0.5 prior on the diagonals (larger-reach candidates err
+    # more on isotropic content, see tests/util_xtrans_hexref.py sweep)
     e_h = ((sh(0, -1) - sh(0, 1)) ** 2
            + (2.0 * x - sh(0, -2) - sh(0, 2)) ** 2)
     e_v = ((sh(-1, 0) - sh(1, 0)) ** 2
            + (2.0 * x - sh(-2, 0) - sh(2, 0)) ** 2)
-    e_h = _box3(e_h)
-    e_v = _box3(e_v)
-    w_h = e_v / jnp.maximum(e_h + e_v, 1e-6)
-    g = jnp.where(mg, x, w_h * g_h + (1.0 - w_h) * g_v)
+    e_d1 = ((sh(-1, -1) - sh(1, 1)) ** 2
+            + (2.0 * x - sh(-2, -2) - sh(2, 2)) ** 2)
+    e_d2 = ((sh(-1, 1) - sh(1, -1)) ** 2
+            + (2.0 * x - sh(-2, 2) - sh(2, -2)) ** 2)
+    eps = 1e-5
+    pri = (1.0, 1.0, 0.5, 0.5)
+    ws = [p_ / (_box3(e) + eps) ** 2
+          for p_, e in zip(pri, (e_h, e_v, e_d1, e_d2))]
+    wsum = ws[0] + ws[1] + ws[2] + ws[3]
+    g = (ws[0] * g_h + ws[1] * g_v + ws[2] * g_d1 + ws[3] * g_d2) / wsum
+
+    # clamp to the local green min/max (the reference's greenminmax,
+    # xtrans_demosaic.cc:319-410) over the masked 8-neighbor greens
+    big = jnp.float32(np.finfo(np.float32).max)
+    neigh = [(gl, sh(0, -1)), (gr, sh(0, 1)), (gu, sh(-1, 0)),
+             (gd, sh(1, 0)), (gd_ul, sh(-1, -1)), (gd_ur, sh(-1, 1)),
+             (_green_at(xtrans_pattern, (h, w), 1, -1), sh(1, -1)),
+             (_green_at(xtrans_pattern, (h, w), 1, 1), sh(1, 1))]
+    gmin = jnp.full_like(x, big)
+    gmax = jnp.full_like(x, -big)
+    for m, v in neigh:
+        gmin = jnp.minimum(gmin, jnp.where(m, v, big))
+        gmax = jnp.maximum(gmax, jnp.where(m, v, -big))
+    g = jnp.clip(g, gmin, gmax)
+    g = jnp.where(mg, x, g)
+    return g, g_h, g_v
+
+
+def xtrans_directional(cfa, xtrans_pattern, passes=1):
+    """Directional X-Trans demosaic for the Markesteijn-quality slots."""
+    from art_tpu.core.image import xtrans_color_index_device
+
+    h, w = cfa.shape
+    cidx = xtrans_color_index_device(xtrans_pattern, (h, w))
+    mr = cidx == 0
+    mg = cidx == 1
+    mb = cidx == 2
+
+    x = cfa
+    g, _, _ = green_directional(cfa, xtrans_pattern)
 
     # chroma: normalized convolution of the color differences with a
     # 5x5 tent kernel (X-Trans guarantees >=2 sites of each color in 5x5)

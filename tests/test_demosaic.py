@@ -404,3 +404,40 @@ def test_legacy_hd_distinct_outputs():
 
     for m1, m2 in itertools.combinations(outs, 2):
         assert np.abs(outs[m1][sl] - outs[m2][sl]).max() > 100.0, (m1, m2)
+
+
+def test_xtrans_green_vs_hex_reference():
+    """Quantified divergence of the whole-plane X-Trans green variant
+    vs the reference's hex-table formulation (xtrans_demosaic.cc:420):
+    the oracle-selected hex candidate error bounds what Markesteijn's
+    homogeneity voting could achieve; our fused green must stay within
+    the demosaic noise floor of it on smooth content and nail the
+    edge orientations (incl. diagonals) that motivated the hex tables.
+    """
+    from art_tpu.demosaic.xtrans import green_directional
+    from art_tpu.io.rawfile import XTRANS_CANONICAL
+    from util_xtrans_hexref import hexref_best_green
+
+    def diag_image(h=96, w=120, anti=False):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        t = (xx - yy) if anti else (xx + yy)
+        img = 0.2 + 0.6 * ((t % 24) < 12)
+        return np.stack([img * 0.9, img, img * 0.8]) * 65535.0
+
+    cases = [  # scene, fused-green mean-|err| bound (fraction of range)
+        ("smooth", smooth_image(h=96, w=120), 0.010),
+        ("diag", diag_image(), 0.0012),
+        ("adiag", diag_image(anti=True), 0.0012),
+    ]
+    for name, rgb, bound in cases:
+        cfa, pat = _xtrans_mosaic(rgb)
+        gt = rgb[1]
+        best_hex, valid = hexref_best_green(cfa, gt, pat)
+        g, _, _ = green_directional(cfa.astype(np.float32), pat)
+        err = np.abs(np.asarray(g, dtype=np.float64) - gt)
+        ours = err[valid].mean() / 65535.0
+        hexb = np.nanmean(best_hex[valid]) / 65535.0
+        assert ours < bound, (name, ours, hexb)
+        # divergence vs the reference formulation's best case stays
+        # inside the demosaic noise floor (<1% of range)
+        assert ours - hexb < 0.01, (name, ours, hexb)
