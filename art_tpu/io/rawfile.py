@@ -22,7 +22,7 @@ import numpy as np
 from art_tpu.color import colorspaces as cs
 
 RAW_EXTENSIONS = {
-    ".dng", ".nef", ".cr2", ".cr3", ".arw", ".raf", ".orf", ".rw2",
+    ".dng", ".nef", ".cr2", ".cr3", ".arw", ".raf", ".orf", ".rw2", ".crw",
     ".pef", ".srw", ".x3f", ".3fr", ".fff", ".iiq", ".mos", ".nrw",
     ".mrw", ".kdc", ".dcr", ".sr2", ".srf", ".erf", ".mef", ".raw",
 }
@@ -200,7 +200,8 @@ def load_raw(path) -> RawFrame:
 
     ext = os.path.splitext(str(path))[1].lower()
     if ext in (".dng", ".cr2", ".cr3", ".raf", ".nef", ".arw", ".rw2",
-               ".pef", ".orf", ".srw", ".mrw", ".3fr", ".iiq", ".x3f"):
+               ".pef", ".orf", ".srw", ".mrw", ".3fr", ".iiq", ".x3f",
+               ".crw"):
         frame = dng.load_dng(path)
         # RW2 carries per-channel blacks in its tags; the camconst value
         # is an additional pedestal (dcraw merges `black` into cblack)
