@@ -60,6 +60,7 @@ def load_dng(path) -> RawFrame:
 
     return RawFrame(
         cfa=img.astype(np.float32),
+        integral=True,
         pattern=pattern,
         xtrans=xtrans,
         black=np.asarray(black4, dtype=np.float64),

@@ -25,7 +25,15 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
     JPEG, iTXt for PNG, tags 700/33723 for TIFF — metadata.cc saveToImage
     role)."""
     arr = np.asarray(rgb_encoded01)
-    assert arr.ndim == 3 and arr.shape[0] == 3
+    assert arr.ndim == 3
+    if arr.dtype == np.uint8:
+        # device-converted 8-bit output (PipelineConfig.out_u8): already
+        # clipped/scaled, planar (3,H,W) or interleaved (H,W,3)
+        assert bits == 8, "uint8 planes require bits=8"
+        if arr.shape[0] == 3 and arr.shape[2] != 3:
+            arr = np.moveaxis(arr, 0, -1)
+    else:
+        assert arr.shape[0] == 3
     import os
 
     d = os.path.dirname(str(path))
@@ -36,6 +44,8 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
     if lower.endswith(".tif") or lower.endswith(".tiff"):
         from art_tpu.io.tiffwrite import write_tiff
 
+        if arr.dtype == np.uint8:  # HWC u8 after the normalization above
+            arr = np.moveaxis(arr, -1, 0).astype(np.float32) / 255.0
         write_tiff(path, np.clip(arr, 0.0, 1.0), bits=bits,
                    compress=not uncompressed,
                    icc_bytes=icc_bytes, exif_tags=exif_tags,
@@ -50,9 +60,13 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
         cv2.imwrite(path, cv2.cvtColor(data16, cv2.COLOR_RGB2BGR))
         return
     # 8-bit conversion on the contiguous CHW float (the strided HWC
-    # multiply costs ~4x on the host), then a byte-level transpose
-    u8 = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
-    data = np.ascontiguousarray(np.moveaxis(u8, 0, -1))
+    # multiply costs ~4x on the host), then a byte-level transpose;
+    # device-converted uint8 output arrives HWC and skips both
+    if arr.dtype == np.uint8:
+        data = arr
+    else:
+        u8 = (np.clip(arr, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+        data = np.ascontiguousarray(np.moveaxis(u8, 0, -1))
     if lower.endswith(".jpg") or lower.endswith(".jpeg"):
         # fast path: libjpeg-turbo via cv2 (~0.2s/24MP vs PIL ~3s on a
         # 1-core host), EXIF/ICC inserted as raw APP1/APP2 segments —
@@ -67,7 +81,7 @@ def save_image(path, rgb_encoded01, bits=8, quality=92, icc_bytes=None,
                         2: cv2.IMWRITE_JPEG_SAMPLING_FACTOR_422,
                         3: cv2.IMWRITE_JPEG_SAMPLING_FACTOR_444}[
                             int(subsampling or 3)]
-            ok = cv2.imwrite(path, data[:, :, ::-1],
+            ok = cv2.imwrite(path, cv2.cvtColor(data, cv2.COLOR_RGB2BGR),
                              [cv2.IMWRITE_JPEG_QUALITY, int(quality),
                               cv2.IMWRITE_JPEG_SAMPLING_FACTOR, sampling])
             if ok:

@@ -55,6 +55,9 @@ class RawFrame:
     rgb: np.ndarray | None = None
     # pixel-shift: the 3 additional frames (3,H,W), same ADU domain as cfa
     extra_frames: np.ndarray | None = None
+    # cfa values are u16-exact (decoded from integer counts): the device
+    # transfer may narrow to uint16 (develop.transfer_array)
+    integral: bool = False
 
     @property
     def is_raw(self):

@@ -135,9 +135,17 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
         inp, pp, outp = job
         try:
             frame = load_image(inp)
-            config, data = plan(frame, pp)
+            # 8-bit JPEG outputs convert to u8 on device: the host
+            # float->u8 pass (~0.9s/24MP on 1 core) would cap the queue
+            config, data = plan(
+                frame, pp,
+                out_u8=str(outp).lower().endswith((".jpg", ".jpeg")))
             arr = frame.cfa if frame.is_raw else frame.rgb
             padded, _ = pad_to_multiple(arr, settings.pad_multiple)
+            if frame.is_raw and frame.integral:
+                from art_tpu.pipeline.develop import transfer_array
+
+                padded = transfer_array(padded)
             _track(+1)
             done_q.put((idx, (config, data, padded, outp)))
         except Exception as e:  # per-file errors don't kill the queue

@@ -71,9 +71,14 @@ class PipelineConfig:
     darkframe: bool = False
     flatfield: tuple | None = None  # (blur_type, radius)
     gainmap: bool = False
+    # emit uint8 planes from the device program (8-bit JPEG outputs):
+    # the host-side float->u8 conversion costs ~0.9s/24MP on a 1-core
+    # host and would cap the batch queue; on-device it fuses into the
+    # TRC epilogue and the readback shrinks 4x
+    out_u8: bool = False
 
 
-def plan(frame, pp, fast=False):
+def plan(frame, pp, fast=False, out_u8=False):
     """Compile ProcParams + frame metadata into (config, data).
 
     fast=True is the reference's fast_pipeline (-q, simpleprocess.cc:89-110):
@@ -721,6 +726,7 @@ def plan(frame, pp, fast=False):
         transform=do_transform,
         linedn=(linedn, linedn_dir),
         ca_mode=ca_mode,
+        out_u8=bool(out_u8),
     )
     return config, data
 
@@ -821,6 +827,11 @@ def _build_run(config: PipelineConfig):
         and config.out_trc[0] in ("srgb", "linear"))
 
     def run(inp, data):
+        # raw counts ship to the device as uint16 (halves the H2D bytes
+        # at 24MP; decoded raws are integral by construction) and widen
+        # to f32 on device, fused into the first pass
+        if inp.dtype != jnp.float32:
+            inp = inp.astype(jnp.float32)
         if config.is_raw and config.demosaic_method == "foveon":
             # Foveon: per-channel scaleColors on the (3, H, W) stack;
             # demosaic is the identity (ST_FOVEON has no mosaic)
@@ -1082,6 +1093,12 @@ def _build_run(config: PipelineConfig):
                 rgb = jnp.clip(jnp.stack([r_, g_, b_]), 0.0, 1.0)
             else:
                 rgb = cs.encode_trc(rgb, config.out_trc, jnp)
+        if config.out_u8:
+            # emit interleaved (H, W, 3) uint8: the 8-bit encoder wants
+            # HWC and the host-side 72MB byte transpose costs ~2s on a
+            # 1-core host (free as a device op before readback)
+            rgb = (jnp.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+            rgb = jnp.transpose(rgb, (1, 2, 0))
         # late-crop programs return the PADDED planes: the slice to true
         # dims is a pure ~0.6 ms HBM copy at 24MP as a device op, but a
         # free view on the host after readback — callers apply
@@ -1093,10 +1110,13 @@ def _build_run(config: PipelineConfig):
 
 def crop_result(out_np, config: PipelineConfig):
     """Slice a fetched executor output to true dims (no-op for programs
-    that already cropped/resized on device)."""
+    that already cropped/resized on device). out_u8 programs return
+    interleaved (H, W, 3) uint8; others planar (3, H, W) float."""
     if not (config.late_crop and config.resize_to is None):
         return out_np
     h0r, w0r = config.orig_shape
+    if config.out_u8:
+        return out_np[..., :h0r, :w0r, :]
     return out_np[..., :h0r, :w0r]
 
 
@@ -1105,15 +1125,27 @@ def _executor(config: PipelineConfig):
     return jax.jit(_build_run(config))
 
 
-def develop(frame, pp, fast=False):
-    """Full develop: returns encoded output RGB (3, H, W) float32 in [0,1]."""
-    config, data = plan(frame, pp, fast=fast)
+def develop(frame, pp, fast=False, out_u8=False):
+    """Full develop: returns encoded output RGB (3, H, W) float32 in
+    [0,1] (uint8 0-255 with out_u8=True)."""
+    config, data = plan(frame, pp, fast=fast, out_u8=out_u8)
     if frame.is_raw:
         inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
     else:
         inp, _ = pad_to_multiple(frame.rgb, settings.pad_multiple)
+    if frame.is_raw and frame.integral:
+        inp = transfer_array(inp)
     out = _executor(config)(inp, data)
     return crop_result(np.asarray(out), config)
+
+
+def transfer_array(inp):
+    """Narrow an integral float raw plane to uint16 for the H2D copy —
+    halves the transfer bytes; the program widens back on device.
+    Callers gate on RawFrame.integral (decoded u16 counts)."""
+    if inp.dtype == np.float32:
+        return inp.astype(np.uint16)
+    return inp
 
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,
@@ -1146,7 +1178,10 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
 
         frame = load_image(path_or_frame)
     t = _tick("decode", t)
-    out = develop(frame, pp, fast=fast)
+    # 8-bit JPEG output with no host-side post step: convert on device
+    u8 = (bits == 8 and gamut_warn is None and output_path is not None
+          and str(output_path).lower().endswith((".jpg", ".jpeg")))
+    out = develop(frame, pp, fast=fast, out_u8=u8)
     t = _tick("develop (plan+device+readback)", t)
     if gamut_warn:
         from art_tpu.color.gamutwarning import paint_gamut_warning

@@ -70,6 +70,13 @@ def main():
 
     art_tpu.init()
     results = {"device": str(jax.devices()[0]).split(":")[0]}
+    out_path = sys.argv[sys.argv.index("--out") + 1] \
+        if "--out" in sys.argv else "BENCH_CONFIGS.json"
+
+    def _save():
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(results), flush=True)
 
     # ---- config 1: headless CLI end-to-end (decode -> JPEG) ----
     from art_tpu.io.dngwrite import write_dng
@@ -95,6 +102,7 @@ def main():
     for _ in range(n):
         run_c1()
     results["c1_cli_bilinear_jpeg_s"] = round((time.time() - t0) / n, 4)
+    _save()
 
     # ---- config 2: AMaZE + CA + hot/dead + green-eq (device) ----
     frame = bayer_frame()
@@ -107,6 +115,7 @@ def main():
     pp2.raw.bayer.green_eq = 100.0
     results["c2_amaze_ca_hotdead_greeneq_s"] = round(
         _device_config(frame, pp2), 4)
+    _save()
 
     # ---- config 3: RCD + wavelet NR + NLMeans + impulse (device) ----
     pp3 = ProcParams()
@@ -118,6 +127,7 @@ def main():
     pp3.impulse_denoise.enabled = True
     results["c3_rcd_wavelet_nlmeans_impulse_s"] = round(
         _device_config(frame, pp3), 4)
+    _save()
 
     # ---- config 4: X-Trans 3-pass + tone-eq + local contrast +
     #      dehaze + film-sim LUT (device) ----
@@ -144,12 +154,12 @@ def main():
     pp4.tone_equalizer.band3 = 10
     pp4.tone_equalizer.band4 = 20
     pp4.dehaze.enabled = True
-    pp4.dehaze.strength = 50
     pp4.film_simulation.enabled = True
     pp4.film_simulation.clut_filename = cube
     pp4.apply_arp_text("[Local Contrast]\nEnabled=true\nContrast=30\n")
     results["c4_xtrans_toneeq_lc_dehaze_filmsim_s"] = round(
         _device_config(framex, pp4), 4)
+    _save()
 
     # ---- config 5: batch queue, reduced scale (end-to-end) ----
     from art_tpu.parallel.queue import process_batch
@@ -178,11 +188,7 @@ def main():
     results["c5_queue_ok"] = int(sum(oks))
     results["c5_peak_in_flight"] = stats.get("peak_in_flight")
 
-    out_path = sys.argv[sys.argv.index("--out") + 1] \
-        if "--out" in sys.argv else "BENCH_CONFIGS.json"
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
-    print(json.dumps(results))
+    _save()
 
 
 if __name__ == "__main__":
