@@ -1,5 +1,7 @@
 """TPU smoke gate: compile + run every Pallas kernel at bench shapes on
-the REAL chip, then the full flagship program, asserting finite output.
+the REAL chip, then the full flagship program, asserting finite output
+AND steady-state wall-clock budgets (the reference's WITH_BENCHMARK
+StopWatch role, StopWatch.h:33-38 — made enforcing).
 
 The pytest suite deliberately pins JAX_PLATFORMS=cpu (tests/conftest.py),
 which flips every Pallas kernel to interpret mode — 336 green tests say
@@ -9,8 +11,10 @@ that shipped in round 2: a tile-size change put _run_neutral_pallas at
 compiled-path check: run it on the chip before every snapshot.
 
 Usage:  python tools/tpu_smoke.py [--quick]
-Exit 0 = all kernels compile and produce finite output at 24MP bench
-shapes (4096x6016 padded domain). Results are also appended to
+Exit 0 = all kernels compile, produce finite output at 24MP bench shapes
+(4096x6016 padded domain), AND run within their per-kernel budgets
+(BUDGET_MS, ~1.5x the round-4 measured steady state — a 2x perf
+regression fails the gate, not just a crash). Results are appended to
 SMOKE_TPU.json at the repo root.
 """
 
@@ -36,6 +40,28 @@ def _finite(x, name):
     return a
 
 
+# steady-state wall-clock budgets (ms) at the 24MP bench shape, ~1.5x
+# the round-4 measured values — a 2x kernel regression fails the gate
+BUDGET_MS = {
+    "tonecurve_neutral": 15.0,
+    "amaze_pallas": 36.0,
+    "wavelet_pallas": 30.0,
+    "nlmeans_pallas": 110.0,  # 74.7 ms measured r4 (search-window bound)
+    "flagship": 75.0,
+}
+
+
+def _exec_ms(run, n=10):
+    """Steady-state ms/iteration of an already-compiled runner."""
+    out = run()
+    np.asarray(out[(0,) * (out.ndim - 1) + (slice(0, 2),)])
+    t0 = time.time()
+    for _ in range(n):
+        out = run()
+    np.asarray(out[(0,) * (out.ndim - 1) + (slice(0, 2),)])
+    return (time.time() - t0) * 1000.0 / n
+
+
 def check_tonecurve_neutral():
     import jax.numpy as jnp
 
@@ -54,6 +80,7 @@ def check_tonecurve_neutral():
     out = tn.apply_neutral(rgb, {k: data[k] for k in ("coeffs", "params")},
                            ())
     _finite(out[:, ::512, ::512], "tonecurve_neutral")
+    return lambda: tn.apply_neutral(rgb, data, (("epi", ("srgb",)),))
 
 
 def check_amaze():
@@ -66,6 +93,7 @@ def check_amaze():
     out = amaze_pallas(cfa, "RGGB", 65535.0, 65535.0 * 0.8)
     assert out is not None, "amaze_pallas returned None at bench shape"
     _finite(out[:, ::512, ::512], "amaze_pallas")
+    return lambda: amaze_pallas(cfa, "RGGB", 65535.0, 65535.0 * 0.8)
 
 
 def check_wavelet():
@@ -82,11 +110,16 @@ def check_wavelet():
     assert out is not None
     _finite(out[:, ::512, ::512], "wavelet_pallas_multi")
     gf, gi = fit_gamma_split(1.7)
+    import jax
+    x65 = jax.block_until_ready(x3 * 65535.0)
     out = wavelet_denoise_pallas_rgb(
-        x3 * 65535.0, (0.3, 0.6, 0.1), 1.0, gf, gi,
+        x65, (0.3, 0.6, 0.1), 1.0, gf, gi,
         [-1.0, 0.02, 0.02], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0])
     assert out is not None
     _finite(out[:, ::512, ::512], "wavelet_pallas_rgb(fused, MAD)")
+    return lambda: wavelet_denoise_pallas_rgb(
+        x65, (0.3, 0.6, 0.1), 1.0, gf, gi,
+        [-1.0, 0.02, 0.02], [1.0, 1.0, 1.0], [0.0, 0.0, 0.0])
 
 
 def check_nlmeans():
@@ -96,9 +129,12 @@ def check_nlmeans():
 
     rng = np.random.default_rng(3)
     y = jnp.asarray(rng.uniform(0, 65535, (H, W)).astype(np.float32))
-    out = nlmeans_pallas(y, jnp.ones_like(y))
+    import jax
+    ones = jax.block_until_ready(jnp.ones_like(y))
+    out = nlmeans_pallas(y, ones)
     assert out is not None
     _finite(out[::512, ::512], "nlmeans_pallas")
+    return lambda: nlmeans_pallas(y, ones)
 
 
 def check_flagship():
@@ -125,8 +161,11 @@ def check_flagship():
     config, data = plan(frame, pp)
     inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
     run = _executor(config)
-    out = run(jax.device_put(inp), jax.device_put(data))
+    inp = jax.device_put(inp)
+    data = jax.device_put(data)
+    out = run(inp, data)
     _finite(np.asarray(out[:, ::512, ::512]), "flagship pipeline")
+    return lambda: run(inp, data)
 
 
 CHECKS = [
@@ -158,10 +197,20 @@ def main():
             continue
         t0 = time.time()
         try:
-            fn()
+            run = fn()
             dt = time.time() - t0
-            print(f"  {name:24s} OK   ({dt:6.1f}s)")
-            results[name] = {"ok": True, "seconds": round(dt, 1)}
+            ms = _exec_ms(run) if run is not None else None
+            budget = BUDGET_MS.get(name)
+            ok = ms is None or budget is None or ms <= budget
+            tag = "OK  " if ok else "SLOW"
+            print(f"  {name:24s} {tag} ({dt:6.1f}s compile, "
+                  f"{ms if ms is None else round(ms, 1)} ms/run, "
+                  f"budget {budget})")
+            results[name] = {"ok": ok, "seconds": round(dt, 1),
+                             "exec_ms": None if ms is None else round(ms, 2),
+                             "budget_ms": budget}
+            if not ok:
+                rc = 1
         except Exception as e:
             dt = time.time() - t0
             msg = str(e).splitlines()[0][:200]
