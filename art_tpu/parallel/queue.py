@@ -131,8 +131,17 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
             in_flight[0] += delta
             peak[0] = max(peak[0], in_flight[0])
 
+    import time as time_mod
+
+    stage_s = {"decode": 0.0, "device": 0.0, "encode": 0.0}
+
+    def _stage(name, dt):
+        with count_lock:
+            stage_s[name] += dt
+
     def decode(idx, job):
         inp, pp, outp = job
+        t0 = time_mod.monotonic()
         try:
             frame = load_image(inp)
             # 8-bit JPEG outputs convert to u8 on device: the host
@@ -147,6 +156,7 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
 
                 padded = transfer_array(padded)
             _track(+1)
+            _stage("decode", time_mod.monotonic() - t0)
             done_q.put((idx, (config, data, padded, outp)))
         except Exception as e:  # per-file errors don't kill the queue
             done_q.put((idx, e))
@@ -197,12 +207,16 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
             try:
                 from art_tpu.pipeline.develop import crop_result
 
+                t0 = time_mod.monotonic()
                 out_np = np.asarray(out)  # blocks until the device step
+                _stage("device", time_mod.monotonic() - t0)
+                t0 = time_mod.monotonic()
                 for k, (i, d) in enumerate(items):
                     save_image(d[3], crop_result(out_np[k], d[0]))
                     results[i] = True
                     if progress:
                         progress(i, d[3])
+                _stage("encode", time_mod.monotonic() - t0)
             finally:
                 for _ in items:
                     _track(-1)
@@ -239,4 +253,8 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
     if stats is not None:
         stats["peak_in_flight"] = peak[0]
         stats["window"] = window
+        # cumulative worker-seconds per stage (overlapped wall time is
+        # max(stage) on a wide host, sum on a 1-core host)
+        stats["stage_seconds"] = {k: round(v, 3)
+                                  for k, v in stage_s.items()}
     return results

@@ -160,16 +160,16 @@ def _fit_surface(dy, dx, wgt, geom, shape):
 
 def _warp_axis(a, shift, axis, dmax=int(SHIFT_MAX)):
     """out(p) = a(p + shift(p)) along `axis`, bilinear, |shift|<=dmax.
-    Masked combination of rolled planes — no gather."""
+
+    Bilinear resampling at fractional offset s is the tent-weighted sum
+    over integer taps: out = sum_d max(0, 1-|s-d|) * a(p+d) — pure VPU
+    FMA over rolled planes, no masks/selects (and XLA fuses the rolls'
+    reads into one pass)."""
     shift = jnp.clip(shift, -dmax, dmax - 1e-3)
-    i = jnp.floor(shift)
-    f = shift - i
-    rolled = {d: jnp.roll(a, -d, axis) for d in range(-dmax, dmax + 2)}
     out = jnp.zeros_like(a)
-    for d in range(-dmax, dmax + 1):
-        m = i == d
-        out = out + jnp.where(
-            m, (1.0 - f) * rolled[d] + f * rolled[d + 1], 0.0)
+    for d in range(-dmax, dmax + 2):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(shift - d))
+        out = out + w * jnp.roll(a, -d, axis)
     return out
 
 

@@ -187,6 +187,7 @@ def main():
     results["c5_queue_imgs_per_s"] = round(njobs / wall, 3)
     results["c5_queue_ok"] = int(sum(oks))
     results["c5_peak_in_flight"] = stats.get("peak_in_flight")
+    results["c5_stage_seconds"] = stats.get("stage_seconds")
 
     _save()
 
