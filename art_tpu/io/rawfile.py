@@ -204,7 +204,7 @@ def load_raw(path) -> RawFrame:
     ext = os.path.splitext(str(path))[1].lower()
     if ext in (".dng", ".cr2", ".cr3", ".raf", ".nef", ".arw", ".rw2",
                ".pef", ".orf", ".srw", ".mrw", ".3fr", ".iiq", ".x3f",
-               ".crw"):
+               ".crw", ".dcr", ".kdc"):
         frame = dng.load_dng(path)
         # RW2 carries per-channel blacks in its tags; the camconst value
         # is an additional pedestal (dcraw merges `black` into cblack)
