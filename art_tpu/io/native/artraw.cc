@@ -4457,9 +4457,11 @@ static uint16_t* decode_cr3(const uint8_t* buf, size_t len,
 // linearization curve.
 // ---------------------------------------------------------------------------
 // returns -1 on error, 0 for compressed diffs, 1 for the absolute-value
-// escape block
+// escape block. `little` is the container byte order: the escape-block
+// u16s follow it (dcraw's read_shorts), while the nibble stream and the
+// 32-bit refill are raw bytes, order-independent.
 static int dcr_65000_decode(const uint8_t*& p, const uint8_t* end,
-                            int16_t* out, int bsize_in) {
+                            int16_t* out, int bsize_in, bool little) {
     int bsize = (bsize_in + 3) & ~3;
     if (bsize > 768) return -1;
     uint8_t blen[768];
@@ -4479,7 +4481,8 @@ static int dcr_65000_decode(const uint8_t*& p, const uint8_t* end,
             if (p + 12 > end) return -1;
             uint16_t raw[6];
             for (int j = 0; j < 6; ++j) {
-                raw[j] = (uint16_t)(p[0] | (p[1] << 8));
+                raw[j] = little ? (uint16_t)(p[0] | (p[1] << 8))
+                                : (uint16_t)((p[0] << 8) | p[1]);
                 p += 2;
             }
             out[i] = (int16_t)((raw[0] >> 12 << 8) | (raw[2] >> 12 << 4)
@@ -4555,7 +4558,7 @@ static uint16_t* decode_dcr(const Reader& r, const std::vector<IFD>& ifds,
         for (int col = 0; col < W; col += 256) {
             int len = W - col < 256 ? W - col : 256;
             int pred[2] = {0, 0};
-            int ret = dcr_65000_decode(p, end, buf, len);
+            int ret = dcr_65000_decode(p, end, buf, len, r.little);
             if (ret < 0) {
                 free(img);
                 return nullptr;
@@ -5444,10 +5447,20 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
             return decode_srw(r, ifds, &ifd, meta);
     }
 
-    // Kodak DCR/KDC: compression-65000 raw IFD
-    for (auto& ifd : ifds) {
-        if ((int)ifd.num(259, 0) == 65000)
-            return decode_dcr(r, ifds, &ifd, meta);
+    // Kodak DCR/KDC: compression-65000 raw IFD. DCR files also carry
+    // 65000-compressed RGB (phint 2) / YCbCr (phint 6) preview IFDs, so
+    // route only phint 32803 (CFA) here, preferring the largest area —
+    // the reference's phint switch (dcraw.cc:7250-7256).
+    {
+        const IFD* dcr = nullptr;
+        size_t best = 0;
+        for (auto& ifd : ifds) {
+            if ((int)ifd.num(259, 0) != 65000) continue;
+            if ((int)ifd.num(262, 0) != 32803) continue;
+            size_t area = (size_t)ifd.num(256, 0) * (size_t)ifd.num(257, 0);
+            if (area > best) { dcr = &ifd; best = area; }
+        }
+        if (dcr) return decode_dcr(r, ifds, dcr, meta);
     }
 
     // Hasselblad 3FR: compression-7 CFA stream with the ph1 bit order

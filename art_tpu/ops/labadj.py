@@ -12,8 +12,9 @@ plan time for a grid of avg values (cubic-segment representation — a
 homogeneous stack, linear in its coefficients); the device computes
 the true mean of brightness(L) over the plane and linearly
 interpolates between the two nearest rows. Max deviation from the
-exact reference formula at the true mean: ~8e-4 of the L range (the
-13-point grid interpolation error). The mean runs over the padded
+exact reference formula at the true mean: ~8e-4 of the L range
+(interpolation error of the 25-point AVG_GRID, measured in
+tests/test_ops.py). The mean runs over the padded
 plane (reflect padding biases it by the pad fraction, <1% at bench
 shapes).
 """

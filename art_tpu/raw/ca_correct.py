@@ -163,13 +163,21 @@ def _warp_axis(a, shift, axis, dmax=int(SHIFT_MAX)):
 
     Bilinear resampling at fractional offset s is the tent-weighted sum
     over integer taps: out = sum_d max(0, 1-|s-d|) * a(p+d) — pure VPU
-    FMA over rolled planes, no masks/selects (and XLA fuses the rolls'
-    reads into one pass)."""
+    FMA over shifted planes, no masks/selects. Taps come from an
+    edge-replicated pad (static slices), so border pixels stay local
+    instead of wrapping to the opposite edge (the reference
+    excludes/clamps borders, CA_correct_RT.cc)."""
+    pad = dmax + 1
+    pw = [(0, 0)] * a.ndim
+    pw[axis] = (pad, pad)
+    ap = jnp.pad(a, pw, mode="edge")
     shift = jnp.clip(shift, -dmax, dmax - 1e-3)
     out = jnp.zeros_like(a)
+    sl = [slice(None)] * a.ndim
     for d in range(-dmax, dmax + 2):
         w = jnp.maximum(0.0, 1.0 - jnp.abs(shift - d))
-        out = out + w * jnp.roll(a, -d, axis)
+        sl[axis] = slice(pad + d, pad + d + a.shape[axis])
+        out = out + w * ap[tuple(sl)]
     return out
 
 
