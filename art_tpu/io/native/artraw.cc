@@ -257,9 +257,13 @@ struct LJ92 {
             uint8_t marker = buf[off + 1];
             if (marker == 0xD8) { off += 2; continue; }
             uint16_t seglen = (uint16_t)(buf[off + 2] << 8 | buf[off + 3]);
+            // the declared segment must fit inside the buffer (corrupt
+            // lengths otherwise put seg reads / scan_start out of bounds)
+            if (seglen < 2 || off + 2 + (size_t)seglen > len) return false;
             const uint8_t* seg = buf + off + 4;
             switch (marker) {
                 case 0xC3: { // SOF3
+                    if (seglen < 8) return false;
                     precision = seg[0];
                     height = seg[1] << 8 | seg[2];
                     width = seg[3] << 8 | seg[4];
@@ -273,6 +277,7 @@ struct LJ92 {
                     const uint8_t* q = seg;
                     const uint8_t* qe = seg + seglen - 2;
                     while (q < qe) {
+                        if (qe - q < 17) return false;
                         int tc_th = *q++;
                         int th = tc_th & 15;
                         if (th > 3) return false;
@@ -283,7 +288,7 @@ struct LJ92 {
                             counts[i] = *q++;
                             total += counts[i];
                         }
-                        if (total > 256) return false;
+                        if (total > 256 || qe - q < total) return false;
                         for (int i = 0; i < total; ++i) h.vals[i] = *q++;
                         // build decode tables (ITU-T81 C.2)
                         int code = 0, k = 0;
@@ -301,10 +306,14 @@ struct LJ92 {
                     break;
                 }
                 case 0xDD: // DRI
+                    if (seglen < 4) return false;
                     restart_interval = seg[0] << 8 | seg[1];
                     break;
                 case 0xDA: { // SOS
+                    if (seglen < 3) return false;
                     int ns = seg[0];
+                    if (ns < 1 || ns > 4 || seglen < 6 + 2 * ns)
+                        return false;
                     for (int c = 0; c < ns && c < 4; ++c) {
                         comp_tbl[c] = seg[1 + 2 * c + 1] >> 4;
                     }
@@ -327,6 +336,11 @@ struct LJ92 {
     // decode into out[row * width * components + col * components + c]
     bool decode(uint16_t* out) {
         if (!scan_start) return false;
+        // header sanity (corrupt SOF3 fields otherwise reach UB shifts
+        // and the 4-entry comp_tbl/tables arrays)
+        if (precision < 1 || precision > 16 || pt < 0 || pt >= precision ||
+            components < 1 || components > 4)
+            return false;
         BitReader br(scan_start, data_end);
         int nc = components;
         std::vector<int> prev_row((size_t)width * nc, 0);
@@ -466,6 +480,7 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
     if (tile_off && tile_cnt) {
         int tw = (int)ifd.num(322, width);
         int th = (int)ifd.num(323, height);
+        if (tw <= 0 || th <= 0 || tw > 65535 || th > 65535) return false;
         int tiles_x = (width + tw - 1) / tw;
         std::vector<uint16_t> tilebuf((size_t)tw * th * spp);
         for (size_t t = 0; t < tile_off->nums.size(); ++t) {
@@ -522,13 +537,16 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
         int row0 = 0;
         for (size_t s = 0; s < strip_off->nums.size(); ++s) {
             size_t off = (size_t)strip_off->nums[s];
+            if (off >= r.len) return false;
             size_t cnt = strip_cnt && s < strip_cnt->nums.size()
                              ? (size_t)strip_cnt->nums[s]
                              : r.len - off;
+            if (cnt > r.len - off) cnt = r.len - off;
             LJ92 lj;
             if (!lj.parse(r.buf + off, cnt)) return false;
-            std::vector<uint16_t> sbuf((size_t)lj.width * lj.height *
-                                       lj.components);
+            size_t sn = (size_t)lj.width * lj.height * lj.components;
+            if (sn == 0 || sn > ((size_t)1 << 28)) return false;
+            std::vector<uint16_t> sbuf(sn);
             if (!lj.decode(sbuf.data())) return false;
             size_t rows = std::min((size_t)rps, (size_t)(height - row0));
             size_t need = (size_t)width * rows * spp;
@@ -589,8 +607,9 @@ static uint16_t* decode_cr2(const Reader& r, const std::vector<IFD>& ifds,
     const TagValue* sc = raw->find(279);
     if (!so || so->nums.empty()) return nullptr;
     size_t off = (size_t)so->nums[0];
+    if (off >= r.len) return nullptr;
     size_t cnt = sc && !sc->nums.empty() ? (size_t)sc->nums[0] : r.len - off;
-    if (off + cnt > r.len) cnt = r.len - off;
+    if (cnt > r.len - off) cnt = r.len - off;
 
     LJ92 lj;
     if (!lj.parse(r.buf + off, cnt)) return nullptr;
@@ -606,7 +625,9 @@ static uint16_t* decode_cr2(const Reader& r, const std::vector<IFD>& ifds,
         sw = (int)sl->nums[1];
         lw = (int)sl->nums[2];
     }
-    int width = n_sl * sw + lw;
+    // 64-bit: corrupt slice tags otherwise overflow the int product
+    int64_t w64 = (int64_t)n_sl * sw + lw;
+    int width = (w64 > 0 && w64 <= 65535) ? (int)w64 : 0;
     if (width <= 0 || (size_t)width * height != total) {
         // inconsistent slice data: fall back to unsliced layout
         n_sl = 0;
@@ -1645,7 +1666,9 @@ struct Ph1Bits {
         return v;
     }
     inline uint32_t bits(int nbits) {
-        if (nbits <= 0) return 0;
+        // corrupt huffman tables can yield symbol values > 32; clamp to
+        // keep the shifts defined (the caller then fails on range checks)
+        if (nbits <= 0 || nbits > 32) return 0;
         if (vbits < nbits) {
             bitbuf = bitbuf << 32 | get4();
             vbits += 32;
@@ -1702,7 +1725,11 @@ static uint16_t* decode_3fr(const Reader& r, const std::vector<IFD>& ifds,
         for (int col = 0; col < width - 1; col += 2) {
             int len0 = ph1_huff_decode(br, h0);
             int len1 = ph1_huff_decode(br, h0);
-            if (len0 < 0 || len1 < 0) { ok = false; break; }
+            // valid length codes are 0..16; larger means a corrupt table
+            if (len0 < 0 || len1 < 0 || len0 > 16 || len1 > 16) {
+                ok = false;
+                break;
+            }
             int d[2];
             for (int c = 0; c < 2; ++c) {
                 int l = c ? len1 : len0;
@@ -1858,9 +1885,11 @@ static uint16_t* decode_iiq(const uint8_t* buf, size_t len,
             int i = ln[col & 1];
             if (i == 14)
                 pix[col] = (uint16_t)(pred[col & 1] = (int)br.bits(16));
-            else
+            else if (i > 0)
                 pix[col] = (uint16_t)(pred[col & 1] +=
                     (int)br.bits(i) + 1 - (1 << (i - 1)));
+            else  // corrupt stream: zero-length code, predictor unchanged
+                pix[col] = (uint16_t)pred[col & 1];
             if ((unsigned)pred[col & 1] >> 16) { free(out); return nullptr; }
             if (format == 5 && pix[col] < 256)
                 pix[col] = curve[pix[col]];
@@ -2457,7 +2486,12 @@ static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,
                     } else if (i == imin) {
                         pix[i] = (uint16_t)vmin;
                     } else {
-                        int b16 = dp[bit >> 3] | (dp[(bit >> 3) + 1] << 8);
+                        // the high byte of the last 7-bit field of the
+                        // final block sits one past the strip; its bits
+                        // are never selected — read it only if in range
+                        const uint8_t* hb = dp + (bit >> 3) + 1;
+                        int hi = hb < r.buf + r.len ? *hb : 0;
+                        int b16 = dp[bit >> 3] | (hi << 8);
                         int p = (((b16 >> (bit & 7)) & 0x7f) << sh) + vmin;
                         pix[i] = (uint16_t)std::min(p, 0x7ff);
                         bit += 7;
@@ -3270,7 +3304,7 @@ static bool crx_decode_line(CrxBandState& st, const int32_t* line0,
         uint32_t bitCode = crx_code(st);
         line1[p1] += -(int32_t)(bitCode & 1) ^ (int32_t)(bitCode >> 1);
         if (notEOL) {
-            int32_t nextDelta = (line0[p0 + 2] - line0[p0 + 1]) << 1;
+            int32_t nextDelta = (line0[p0 + 2] - line0[p0 + 1]) * 2;
             bitCode = (bitCode + (uint32_t)(nextDelta < 0 ? -nextDelta
                                                           : nextDelta)) >> 1;
             ++p0;

@@ -42,10 +42,14 @@ def _load():
     if _LIB is not None:
         return _LIB
     here = os.path.dirname(__file__)
-    so = os.path.join(here, "native", "libartraw.so")
+    # ART_TPU_ARTRAW selects an alternative .so (e.g. libartraw_san.so,
+    # the ASan+UBSan build — `make san`; run with LD_PRELOAD=libasan.so)
+    name = os.environ.get("ART_TPU_ARTRAW", "libartraw.so")
+    so = name if os.path.isabs(name) else os.path.join(here, "native", name)
     if not os.path.exists(so):
         # build on demand (g++ is part of the baked toolchain)
-        subprocess.run(["make", "-C", os.path.join(here, "native")],
+        target = ["san"] if name.endswith("_san.so") else []
+        subprocess.run(["make", "-C", os.path.join(here, "native")] + target,
                        check=True, capture_output=True)
     lib = ctypes.CDLL(so)
     lib.artraw_decode_dng.restype = ctypes.POINTER(ctypes.c_uint16)
