@@ -193,8 +193,11 @@ def amaze_pallas(cfa, pattern, clip_pt, clip_pt8):
     if pattern not in BAYER_PATTERNS:
         return None
     h, w = cfa.shape
-    if h < 2 * TILE_Y or w < 2 * TILE_X:
-        return None  # small images: whole-plane XLA path is fine
+    if h < TILE_Y or w < TILE_X // 2:
+        return None  # tiny images: whole-plane XLA path
+    # mid-size images pad up to one tile: even a 2x pad waste beats the
+    # whole-plane XLA path (~5x slower per pixel at 6MP, measured r5 —
+    # the old 2-tile minimum sent 2048x3072 frames down it)
     ph = (-h) % TILE_Y
     pw = (-w) % TILE_X
     x = cfa

@@ -293,13 +293,15 @@ def _kernel_rgb(pv_ref, cf_ref, ci_ref, x_hbm, out_ref, win, sem, *,
 
 
 def _pick_tx_rgb(w):
-    """Lane-dim tile for the fused RGB kernel: full-width for awkward
-    widths (not a TILE_X multiple, e.g. 6016) when the 3-plane halo
-    window fits VMEM — kills both the x halo recompute and the
-    pad-to-tile waste."""
-    if w % TILE_X != 0 and w % 128 == 0 \
+    """Lane-dim tile for the fused RGB kernel: full-width when the
+    3-plane halo window fits VMEM — kills both the x halo recompute and
+    the pad-to-tile waste. Measured at 4096x6016 (r5 A/B, min over
+    batches): full-width 23.80 ms vs 24.25 (TILE_X=1024) and 23.74
+    (3072); the 88MB live-set bound admits the 24MP bench width (was
+    80MB, which rejected it by 1MB and cost ~0.5 ms/frame)."""
+    if w % 128 == 0 \
             and 3 * (TILE_Y + 2 * PAD) * (w + 2 * PAD) * 4 * 3 \
-            <= 80 * 1024 * 1024:
+            <= 88 * 1024 * 1024:
         return w
     return TILE_X
 

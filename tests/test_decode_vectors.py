@@ -142,3 +142,104 @@ def test_arw2_hand_vector(tmp_path):
     curve = sony_curve()
     expected = curve[(pix << 1) & 0xFFF]
     np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_arw_lossless_hand_vector(tmp_path):
+    """One 4x2-pixel tile = LJ92 1x2 with 4 components (the 2x2 Bayer
+    quad layout). Hand Huffman: len-2 codes 00/01/10 = cats 0/1/2,
+    len-3 110 = cat3, len-4 1110 = cat4. P=14 -> col-0 predictor 8192,
+    col-1 predictor = left sample of the same component.
+      col0: +2 "10|10"  +1 "01|1"  -1 "01|0"  -4 "110|011"
+      col1: +2 "10|10"  -3 "10|00" +1 "01|1"  -8 "1110|0111"
+    35 bits -> a6 b3 a8 7c e0 (zero-padded). Quad blit puts comps
+    (0,1;2,3) at rows (0,1) x cols (2k, 2k+1).
+    """
+    import struct
+
+    from util_arw import write_arw_lossless
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    sof = struct.pack(">BHHB", 14, 1, 2, 4) + bytes(
+        b for c in range(4) for b in (c, 0x11, 0))
+    counts = [0] * 16
+    counts[1] = 3  # len-2: cats 0,1,2
+    counts[2] = 1  # len-3: cat 3
+    counts[3] = 1  # len-4: cat 4
+    dht = bytes([0x00]) + bytes(counts) + bytes([0, 1, 2, 3, 4])
+    sos = bytes([4, 0, 0, 1, 0, 2, 0, 3, 0]) + bytes([1, 0, 0])
+    stream = (b"\xff\xd8" + seg(0xC3, sof) + seg(0xC4, dht)
+              + seg(0xDA, sos) + bytes.fromhex("a6b3a87ce0") + b"\xff\xd9")
+
+    expected = np.array([[8194, 8193, 8196, 8190],
+                         [8191, 8188, 8192, 8180]], np.uint16)
+    p = tmp_path / "v.arw"
+    write_arw_lossless(p, expected.astype(np.int64), tile=(4, 2),
+                       payloads=[stream])
+    frame = load_raw(p)
+    assert frame.pattern == "RGGB"
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)
+
+
+def test_x3f_true_hand_vector(tmp_path):
+    """TRUE-engine plane stream, 2x4, all three planes identical.
+
+    Category prefix table from the section header: 4-bit code i ->
+    category i. Predictors: cols 0-1 vertical per row parity (init 512),
+    cols >=2 horizontal per column parity.
+      (0,0) +2 "0010|10"  (0,1) -2 "0010|01"  (0,2) +2 "0010|10"
+      (0,3) +1 "0001|1"   (1,0)  0 "0000"     (1,1) +1 "0001|1"
+      (1,2) +3 "0010|11"  (1,3) +1 "0001|1"
+    43 bits -> 28 92 86 03 2c 60 (zero-padded).
+    """
+    import struct
+
+    from util_x3f import write_x3f
+
+    vals = np.array([[514, 510, 516, 511],
+                     [512, 513, 515, 514]], np.uint16)
+    plane = bytes.fromhex("289286032c60")
+    head = bytearray(8)
+    for i in range(13):
+        head += bytes([4, i << 4])
+    head += b"\0\0"
+    for _ in range(3):
+        head += struct.pack("<I", len(plane))
+    payload = bytearray(head)
+    for _ in range(3):
+        payload += plane
+        while len(payload) % 16:
+            payload.append(0)
+
+    rgb = np.stack([vals] * 3)
+    p = tmp_path / "v.x3f"
+    write_x3f(p, rgb, fmt=30, payload=bytes(payload))
+    frame = load_raw(p)
+    assert frame.cfa.shape == (3, 2, 4)
+    for c in range(3):
+        np.testing.assert_array_equal(frame.cfa[c].astype(np.uint16), vals)
+
+
+def test_dcr_escape_block_hand_vector(tmp_path):
+    """Kodak 65000 absolute-value escape block (dcraw kodak_65000_decode
+    rewind path) — the compressed round-trips never reach it.
+
+    First nibble byte 0x0D (len 13 > 12) triggers the escape; the
+    decoder rewinds and reads six u16s [0x100D, 0x2001, 0x3002, 0x4003,
+    0x5004, 0x6005]:
+      out[0] = 1<<8 | 3<<4 | 5 = 309   (top nibbles of words 0,2,4)
+      out[1] = 2<<8 | 4<<4 | 6 = 582   (top nibbles of words 1,3,5)
+      out[2..7] = low 12 bits = 13,1,2,3,4,5
+    Escape values are absolute (no predictor), mapped through the
+    identity curve.
+    """
+    from util_dcr import write_dcr
+
+    stream = bytes.fromhex("0d1001200230034004500560")
+    idx = np.zeros((1, 8), np.int64)  # dims only; stream is overridden
+    p = tmp_path / "v.dcr"
+    write_dcr(p, idx, stream=stream)
+    frame = load_raw(p)
+    expected = np.array([[309, 582, 13, 1, 2, 3, 4, 5]], np.uint16)
+    np.testing.assert_array_equal(frame.cfa.astype(np.uint16), expected)

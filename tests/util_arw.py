@@ -186,17 +186,20 @@ def quad_tiles(pix, tw, th):
 
 def write_arw_lossless(path, pix, tile=(64, 32), precision=14,
                        wb_rggb=(2100, 1024, 1024, 1800), make="SONY",
-                       model="TEST-LL", iso=100, cfa=(0, 1, 1, 2)):
+                       model="TEST-LL", iso=100, cfa=(0, 1, 1, 2),
+                       payloads=None):
     """Write a Sony lossless-compressed ARW: raw IFD with compression 7
     and LJ92 tiles whose 4-component samples are 2x2 Bayer quads (the
     layout LibRaw's sony_ljpeg_load_raw consumes; the reference reaches
-    this format only via its optional LibRaw backend, rawimage.h:81)."""
+    this format only via its optional LibRaw backend, rawimage.h:81).
+    payloads: per-tile LJ92 stream overrides (hand-built vectors)."""
     from tests.util_cr2 import lj92_encode_comps
 
     h, w = pix.shape
     tw, tile_h = tile
-    payloads = [lj92_encode_comps(q, precision=precision)
-                for q in quad_tiles(pix, tw, tile_h)]
+    if payloads is None:
+        payloads = [lj92_encode_comps(q, precision=precision)
+                    for q in quad_tiles(pix, tw, tile_h)]
 
     entries = []
 

@@ -80,15 +80,17 @@ def encode_dcr_stream(idx_plane):
 
 
 def write_dcr(path, idx_plane, curve=None, wb_rgb=None,
-              make="KODAK", model="DCS Pro 14N"):
+              make="KODAK", model="DCS Pro 14N", stream=None):
     """Write a synthetic DCR. idx_plane holds curve indices; the decoded
-    image is curve[idx]. Returns the expected decoded uint16 plane."""
+    image is curve[idx]. Returns the expected decoded uint16 plane.
+    stream: raw 65000-codec byte override (hand-built vectors)."""
     idx_plane = np.asarray(idx_plane, dtype=np.int64)
     h, w = idx_plane.shape
     if curve is None:
         curve = np.arange(0x1000, dtype=np.uint16)
     curve = np.asarray(curve, dtype=np.uint16)
-    stream = encode_dcr_stream(idx_plane)
+    if stream is None:
+        stream = encode_dcr_stream(idx_plane)
 
     tags = []  # (tag, type, count, payload_bytes or int)
 

@@ -146,13 +146,16 @@ def _huff_section_payload(rgb, row_skip_quirk=False):
 
 
 def write_x3f(path, rgb, fmt=30, make="SIGMA", model="DP2 Merrill",
-              iso=200, rotation=0):
+              iso=200, rotation=0, payload=None):
     """Write a minimal X3F: FOVb header, one raw IMAG section (type 3),
-    a PROP section (CAMMANUF/CAMMODEL/ISO), directory at EOF."""
+    a PROP section (CAMMANUF/CAMMODEL/ISO), directory at EOF.
+    payload: raw section-data override (hand-built vectors)."""
     rgb = np.asarray(rgb)
     assert rgb.ndim == 3 and rgb.shape[0] == 3
     _, h, w = rgb.shape
-    if fmt == 30:
+    if payload is not None:
+        pass
+    elif fmt == 30:
         payload = _true_section_payload(rgb)
     elif fmt == 5:
         payload = _packed_section_payload(rgb)
