@@ -40,15 +40,22 @@ def _finite(x, name):
     return a
 
 
-# steady-state wall-clock budgets (ms) at the 24MP bench shape, ~1.5x
-# the round-4 measured values — a 2x kernel regression fails the gate
+# Steady-state wall-clock budgets (ms) at the 24MP bench shape.
+# Method (r5 recalibration): budget = 1.5x the min-of-batches steady
+# state measured by THIS harness (_exec_ms: min over 3 batches of 5,
+# which rejects the shared chip's contention outliers the same way the
+# check itself does). r4 shipped tonecurve_neutral RED at 15.16 vs a
+# 15.0 budget derived from a different instrument (the in-pipeline
+# ablation marginal ~6 ms, which XLA fusion makes incomparable to this
+# standalone dispatch) — budgets below come from same-method r5
+# measurements: tonecurve 13.4-14.0, amaze 23.7-26.7, wavelet
+# (full-width tiles, r5) 23.8, nlmeans 74.7 (r4), flagship 46.0.
 BUDGET_MS = {
-    "tonecurve_neutral": 15.0,
-    "amaze_pallas": 36.0,
-    "wavelet_pallas": 50.0,  # 21-37 ms observed across sessions (shared
-                             # chip); a true 2x regression still trips
-    "nlmeans_pallas": 110.0,  # 74.7 ms measured r4 (search-window bound)
-    "flagship": 75.0,
+    "tonecurve_neutral": 21.0,
+    "amaze_pallas": 38.0,
+    "wavelet_pallas": 36.0,
+    "nlmeans_pallas": 110.0,
+    "flagship": 69.0,
 }
 
 
