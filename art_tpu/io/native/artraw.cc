@@ -25,6 +25,9 @@
 #include <vector>
 #include <string>
 #include <algorithm>
+#include <atomic>
+#include <functional>
+#include <thread>
 
 namespace {
 
@@ -470,6 +473,48 @@ struct ArtRawMeta {
 uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len, ArtRawMeta* meta);
 void artraw_free(uint16_t* p) { free(p); }
 
+// ---------------------------------------------------------------------------
+// Strip/tile-parallel decode (the reference parallelizes multi-frame
+// decode, rawimagesource.cc:1285-1308; here the independent units are
+// the strips/tiles/row-streams within one frame). Thread count from
+// ART_TPU_DECODE_THREADS (default: hardware concurrency, cap 16).
+// Returns true iff every chunk decoded cleanly.
+// ---------------------------------------------------------------------------
+static int decode_threads() {
+    static int n = [] {
+        const char* e = getenv("ART_TPU_DECODE_THREADS");
+        int v = e ? atoi(e) : (int)std::thread::hardware_concurrency();
+        if (v < 1) v = 1;
+        if (v > 16) v = 16;
+        return v;
+    }();
+    return n;
+}
+
+static bool parallel_chunks(size_t n, const std::function<bool(size_t)>& fn) {
+    int nt = decode_threads();
+    if (n <= 1 || nt <= 1) {
+        for (size_t i = 0; i < n; ++i)
+            if (!fn(i)) return false;
+        return true;
+    }
+    if ((size_t)nt > n) nt = (int)n;
+    std::atomic<size_t> next(0);
+    std::atomic<bool> ok(true);
+    auto work = [&] {
+        for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= n || !ok.load(std::memory_order_relaxed)) return;
+            if (!fn(i)) ok.store(false, std::memory_order_relaxed);
+        }
+    };
+    std::vector<std::thread> ts;
+    for (int t = 1; t < nt; ++t) ts.emplace_back(work);
+    work();
+    for (auto& t : ts) t.join();
+    return ok.load();
+}
+
 static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
                                 int height, int bps, int spp,
                                 int compression, uint16_t* out) {
@@ -482,14 +527,15 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
         int th = (int)ifd.num(323, height);
         if (tw <= 0 || th <= 0 || tw > 65535 || th > 65535) return false;
         int tiles_x = (width + tw - 1) / tw;
-        std::vector<uint16_t> tilebuf((size_t)tw * th * spp);
-        for (size_t t = 0; t < tile_off->nums.size(); ++t) {
+        // tiles decode to disjoint output rects: strip/tile-parallel
+        return parallel_chunks(tile_off->nums.size(), [&](size_t t) {
             size_t off = (size_t)tile_off->nums[t];
             size_t cnt = t < tile_cnt->nums.size()
                              ? (size_t)tile_cnt->nums[t] : 0;
             if (off + cnt > r.len) return false;
             int tx = (int)(t % tiles_x) * tw;
             int ty = (int)(t / tiles_x) * th;
+            std::vector<uint16_t> tilebuf((size_t)tw * th * spp);
             if (compression == 7) {
                 LJ92 lj;
                 if (!lj.parse(r.buf + off, cnt)) return false;
@@ -524,8 +570,8 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
                        tilebuf.data() + (size_t)y * tw * spp,
                        (size_t)copy_w * spp * sizeof(uint16_t));
             }
-        }
-        return true;
+            return true;
+        });
     }
 
     const TagValue* strip_off = ifd.find(273);
@@ -533,9 +579,12 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
     if (!strip_off) return false;
     int rps = (int)ifd.num(278, height);
     if (compression == 7) {
-        // single LJ92 stream per strip
-        int row0 = 0;
-        for (size_t s = 0; s < strip_off->nums.size(); ++s) {
+        // one independent LJ92 stream per strip; strip s starts at row
+        // s * rps — strip-parallel
+        if (rps <= 0) return false;
+        return parallel_chunks(strip_off->nums.size(), [&](size_t s) {
+            size_t row0 = s * (size_t)rps;
+            if (row0 >= (size_t)height) return true;  // trailing entries
             size_t off = (size_t)strip_off->nums[s];
             if (off >= r.len) return false;
             size_t cnt = strip_cnt && s < strip_cnt->nums.size()
@@ -548,13 +597,12 @@ static bool decode_strips_tiles(const Reader& r, const IFD& ifd, int width,
             if (sn == 0 || sn > ((size_t)1 << 28)) return false;
             std::vector<uint16_t> sbuf(sn);
             if (!lj.decode(sbuf.data())) return false;
-            size_t rows = std::min((size_t)rps, (size_t)(height - row0));
+            size_t rows = std::min((size_t)rps, (size_t)height - row0);
             size_t need = (size_t)width * rows * spp;
-            memcpy(out + (size_t)row0 * width * spp, sbuf.data(),
+            memcpy(out + row0 * width * spp, sbuf.data(),
                    std::min(need, sbuf.size()) * sizeof(uint16_t));
-            row0 += (int)rows;
-        }
-        return true;
+            return true;
+        });
     }
     if (compression != 1) return false;
     int row0 = 0;
@@ -1864,11 +1912,13 @@ static uint16_t* decode_iiq(const uint8_t* buf, size_t len,
     size_t npix = (size_t)rw * rh;
     uint16_t* out = (uint16_t*)calloc(npix, sizeof(uint16_t));
     if (!out) return nullptr;
-    std::vector<uint16_t> pix(rw);
     int shift = 2 * (format != 8);
-    for (int row = 0; row < rh; ++row) {
+    // each row has its own bit stream (rowoff table): row-parallel
+    bool all_ok = parallel_chunks((size_t)rh, [&](size_t rowi) {
+        int row = (int)rowi;
+        std::vector<uint16_t> pix(rw);
         size_t so = (size_t)data_off + rowoff[row];
-        if (so >= len) { free(out); return nullptr; }
+        if (so >= len) return false;
         Ph1Bits br{buf + so, len - so};
         int pred[2] = {0, 0}, ln[2] = {0, 0};
         int tail = rw & ~7;
@@ -1890,7 +1940,7 @@ static uint16_t* decode_iiq(const uint8_t* buf, size_t len,
                     (int)br.bits(i) + 1 - (1 << (i - 1)));
             else  // corrupt stream: zero-length code, predictor unchanged
                 pix[col] = (uint16_t)pred[col & 1];
-            if ((unsigned)pred[col & 1] >> 16) { free(out); return nullptr; }
+            if ((unsigned)pred[col & 1] >> 16) return false;
             if (format == 5 && pix[col] < 256)
                 pix[col] = curve[pix[col]];
         }
@@ -1901,7 +1951,9 @@ static uint16_t* decode_iiq(const uint8_t* buf, size_t len,
                   + rblk[(size_t)col * 2 + (row >= (int)split_row)];
             rp[col] = v > 0 ? (uint16_t)v : 0;
         }
-    }
+        return true;
+    });
+    if (!all_ok) { free(out); return nullptr; }
 
     memset(meta, 0, sizeof(*meta));
     meta->width = rw;
@@ -2392,8 +2444,8 @@ static bool decode_arw_lossless(const Reader& r, const IFD& raw, int width,
     int th = (int)raw.num(323, height);
     if (tw <= 0 || th <= 0 || (tw | th) & 1) return false;
     int tiles_x = (width + tw - 1) / tw;
-    std::vector<uint16_t> tilebuf;
-    for (size_t t = 0; t < tile_off->nums.size(); ++t) {
+    // quad tiles land in disjoint output rects: tile-parallel
+    return parallel_chunks(tile_off->nums.size(), [&](size_t t) {
         size_t off = (size_t)tile_off->nums[t];
         size_t cnt = (tile_cnt && t < tile_cnt->nums.size())
                          ? (size_t)tile_cnt->nums[t]
@@ -2403,13 +2455,13 @@ static bool decode_arw_lossless(const Reader& r, const IFD& raw, int width,
         if (!lj.parse(r.buf + off, cnt)) return false;
         if (lj.components != 4) return false;
         if (2 * lj.width != tw || 2 * lj.height != th) return false;
-        tilebuf.resize((size_t)lj.width * lj.height * 4);
+        std::vector<uint16_t> tilebuf((size_t)lj.width * lj.height * 4);
         if (!lj.decode(tilebuf.data())) return false;
         int tx = (int)(t % tiles_x) * tw;
         int ty = (int)(t / tiles_x) * th;
         blit_ljpeg_quads(lj, tilebuf.data(), ty, tx, width, height, out);
-    }
-    return true;
+        return true;
+    });
 }
 
 static uint16_t* decode_arw(const Reader& r, const std::vector<IFD>& ifds,

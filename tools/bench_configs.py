@@ -161,17 +161,72 @@ def main():
         _device_config(framex, pp4), 4)
     _save()
 
-    # ---- config 5: batch queue, reduced scale (end-to-end) ----
+    # ---- flagship end-to-end decomposition: the host ceiling around
+    #      the device step (decode / H2D / device / D2H / encode) ----
+    ppf = ProcParams()
+    arp = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "art_tpu", "data", "profiles",
+        "Standard Film Curve.arp")
+    ppf.apply_arp_text(open(arp).read())
+    ppf.raw.bayer.method = "amaze"
+    ppf.denoise.enabled = True
+    ppf.denoise.luminance = 20.0
+    ppf.denoise.chrominance = 20.0
+    from art_tpu.core.image import pad_to_multiple
+    from art_tpu.pipeline.develop import _executor, plan
+    from art_tpu.settings import settings as _settings
+
+    t0 = time.time()
+    fframe = load_raw(raw_path)
+    t_decode = time.time() - t0
+    fconfig, fdata = plan(fframe, ppf, out_u8=True)
+    finp, _ = pad_to_multiple(fframe.cfa, _settings.pad_multiple)
+    frun = _executor(fconfig)
+    fdata_dev = jax.device_put(fdata)
+    out = frun(jax.device_put(finp), fdata_dev)  # compile warm
+    np.asarray(out[0, :2])
+    t0 = time.time()
+    finp_dev = jax.device_put(finp)
+    jax.block_until_ready(finp_dev)
+    t_h2d = time.time() - t0
+    t0 = time.time()
+    for _ in range(5):
+        out = frun(finp_dev, fdata_dev)
+    np.asarray(out[0, :2])
+    t_dev = (time.time() - t0) / 5
+    t0 = time.time()
+    host_out = np.asarray(out)
+    t_d2h = time.time() - t0
+    t0 = time.time()
+    save_image("/tmp/bench_flag.jpg", host_out)
+    t_encode = time.time() - t0
+    results["flagship_e2e_s"] = {
+        "decode": round(t_decode, 3), "h2d": round(t_h2d, 3),
+        "device": round(t_dev, 3), "d2h": round(t_d2h, 3),
+        "encode": round(t_encode, 3),
+    }
+    results["flagship_e2e_over_device"] = round(
+        (t_decode + t_h2d + t_dev + t_d2h + t_encode) / t_dev, 2)
+    _save()
+
+    # ---- config 5: batch queue, 64 x 24MP (end-to-end) ----
     from art_tpu.parallel.queue import process_batch
-    njobs = int(os.environ.get("BENCH_C5_JOBS", "16"))
-    qh, qw = 2000, 3008  # 6MP keeps the reduced-scale run bounded
+    njobs = int(os.environ.get("BENCH_C5_JOBS", "64"))
+    qh, qw = int(os.environ.get("BENCH_C5_H", "4000")), \
+        int(os.environ.get("BENCH_C5_W", "6000"))
     mq = (np.random.default_rng(3).uniform(0.05, 0.9, (qh, qw))
           * 16000 + 500).astype(np.uint16)
     jobs = []
     for i in range(njobs):
         p = f"/tmp/bench_c5_{i}.dng"
         if not os.path.exists(p):
-            write_dng(p, mq, black=500, white=16500)
+            if i == 0:
+                write_dng(p, mq, black=500, white=16500)
+            else:  # identical bytes: hardlink instead of re-encoding
+                try:
+                    os.link("/tmp/bench_c5_0.dng", p)
+                except OSError:
+                    write_dng(p, mq, black=500, white=16500)
         pp = ProcParams()
         pp.raw.bayer.method = "amaze"
         pp.denoise.enabled = True
