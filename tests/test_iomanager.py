@@ -59,3 +59,32 @@ def test_iomanager_config_parse(tmp_path):
     mgr = iomanager.IOManager(dirs=[str(iodir)])
     assert "exr" in mgr.loaders
     assert "exr" in mgr.savers
+
+
+def test_shipped_pnm_preconverter(tmp_path, monkeypatch):
+    """The SHIPPED example converter (tools/preconverters/pnm_to_dng.py)
+    carries a 16-bit PGM mosaic into the native pipeline end-to-end."""
+    from art_tpu.io.rawfile import load_raw
+
+    rng = np.random.default_rng(1)
+    mosaic = rng.integers(100, 15000, size=(24, 40)).astype(np.uint16)
+    pgm = tmp_path / "frame.pgm"
+    pgm.write_bytes(b"P5\n40 24\n65535\n"
+                    + mosaic.astype(">u2").tobytes())
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools", "preconverters",
+        "pnm_to_dng.py")
+    iodir = tmp_path / "imageio"
+    iodir.mkdir()
+    (iodir / "pnm.txt").write_text(
+        "[ART RAWImageIO]\n"
+        f"Extension=pgm\nReadCommand={sys.executable} {script}\n")
+    mgr = iomanager.IOManager(dirs=[str(iodir)])
+    monkeypatch.setattr(iomanager, "_instance", mgr)
+    try:
+        fr = load_raw(str(pgm))
+        np.testing.assert_array_equal(fr.cfa, mosaic.astype(np.float32))
+        assert fr.pattern == "RGGB"
+    finally:
+        iomanager.reset()
