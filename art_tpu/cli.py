@@ -344,11 +344,20 @@ def main(argv=None):
         try:
             _progress(done * 100.0 / n_files)
             t0 = time.time()
+            # within-file phase milestones ride the ProgressListener
+            # surface (rtengine.h:150-166; percent protocol
+            # main-cli.cc:297-350)
+            from art_tpu.pipeline.listeners import CallbackListener
+
+            base = done * 100.0 / n_files
+            lst = CallbackListener(
+                on_progress=lambda f: _progress(base + f * 100.0 / n_files))
             process_image(inp, pp, fast=opts["fast"], output_path=outp,
                           bits=bits, quality=opts["quality"],
                           uncompressed=opts.get("tiff_uncompressed", False),
                           gamut_warn=opts.get("gamut_warn"),
-                          subsampling=opts.get("subsampling", 3))
+                          subsampling=opts.get("subsampling", 3),
+                          listener=lst)
             dt = time.time() - t0
             done += 1
             _progress(done * 100.0 / n_files)

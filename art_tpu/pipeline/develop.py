@@ -1150,12 +1150,16 @@ def transfer_array(inp):
 
 def process_image(path_or_frame, pp, fast=False, output_path=None,
                   bits=8, quality=92, uncompressed=False,
-                  gamut_warn=None, subsampling=3):
+                  gamut_warn=None, subsampling=3, listener=None):
     """processImage equivalent (rtengine.h:604, simpleprocess.cc:580).
 
     gamut_warn: optional proof profile (preset name or matrix .icc
     path); pixels outside its gamut are painted cyan in the result
     (the soft-proof gamut warning of gamutwarning.cc as batch output).
+
+    listener: optional pipeline.listeners.ProgressListener — phase
+    milestones + errors (the reference's ProgressListener surface,
+    rtengine.h:150-166).
 
     With settings.verbose, per-phase wall-clock timings print to stdout
     (the reference's `-V` instrumentation, rawimagesource.cc:1470,
@@ -1163,6 +1167,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
     import time as _time
 
     from art_tpu.io.rawfile import RawFrame
+    from art_tpu.pipeline.listeners import notify
 
     def _tick(label, t0):
         if settings.verbose:
@@ -1171,17 +1176,24 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         return _time.monotonic()
 
     t = _time.monotonic()
-    if isinstance(path_or_frame, RawFrame):
-        frame = path_or_frame
-    else:
-        from art_tpu.io import load_image
+    try:
+        if isinstance(path_or_frame, RawFrame):
+            frame = path_or_frame
+        else:
+            from art_tpu.io import load_image
 
-        frame = load_image(path_or_frame)
+            frame = load_image(path_or_frame)
+    except Exception as e:
+        if listener is not None:
+            listener.error(f"load failed: {e}")
+        raise
+    notify(listener, "decode")
     t = _tick("decode", t)
     # 8-bit JPEG output with no host-side post step: convert on device
     u8 = (bits == 8 and gamut_warn is None and output_path is not None
           and str(output_path).lower().endswith((".jpg", ".jpeg")))
     out = develop(frame, pp, fast=fast, out_u8=u8)
+    notify(listener, "develop")
     t = _tick("develop (plan+device+readback)", t)
     if gamut_warn:
         from art_tpu.color.gamutwarning import paint_gamut_warning
@@ -1189,6 +1201,7 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         out, _ = paint_gamut_warning(
             out, _resolve_output_profile(pp.icm.output_profile),
             gamut_warn)
+        notify(listener, "gamut")
         t = _tick("gamut warning", t)
     if output_path is not None:
         from art_tpu.io.imagefile import save_image
@@ -1271,4 +1284,5 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
 
             copy_tags(frame.filename, output_path)
         _tick("encode+metadata", t)
+    notify(listener, "save")
     return out

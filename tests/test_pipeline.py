@@ -142,3 +142,36 @@ def test_develop_pixelshift_wiring():
     config2, _ = plan(fr2, pp)
     assert not config2.pixelshift
     assert config2.demosaic_method == "amaze"
+
+
+def test_progress_listener_milestones(tmp_path):
+    """ProgressListener surface (rtengine.h:150-166): monotonic phase
+    milestones fire through process_image, error() on load failure."""
+    import numpy as np
+
+    from art_tpu.io.dngwrite import write_dng
+    from art_tpu.pipeline.develop import process_image
+    from art_tpu.pipeline.listeners import CallbackListener
+    from art_tpu.params import ProcParams
+
+    m = np.random.default_rng(0).integers(
+        100, 15000, size=(32, 48)).astype(np.uint16)
+    p = tmp_path / "l.dng"
+    write_dng(p, m)
+    seen = []
+    msgs = []
+    lst = CallbackListener(on_progress=seen.append,
+                           on_message=msgs.append)
+    process_image(str(p), ProcParams(), output_path=str(tmp_path / "l.jpg"),
+                  listener=lst)
+    assert seen == sorted(seen) and seen[-1] == 1.0
+    assert "decode" in msgs and "save" in msgs
+
+    errs = []
+    bad = tmp_path / "missing.dng"
+    try:
+        process_image(str(bad), ProcParams(),
+                      listener=CallbackListener(on_error=errs.append))
+    except Exception:
+        pass
+    assert errs and "load failed" in errs[0]
