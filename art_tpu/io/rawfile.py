@@ -25,6 +25,7 @@ RAW_EXTENSIONS = {
     ".dng", ".nef", ".cr2", ".cr3", ".arw", ".raf", ".orf", ".rw2", ".crw",
     ".pef", ".srw", ".x3f", ".3fr", ".fff", ".iiq", ".mos", ".nrw",
     ".mrw", ".kdc", ".dcr", ".sr2", ".srf", ".erf", ".mef", ".raw",
+    ".qtk", ".pxn",
 }
 
 
@@ -204,7 +205,7 @@ def load_raw(path) -> RawFrame:
     ext = os.path.splitext(str(path))[1].lower()
     if ext in (".dng", ".cr2", ".cr3", ".raf", ".nef", ".arw", ".rw2",
                ".pef", ".orf", ".srw", ".mrw", ".3fr", ".iiq", ".x3f",
-               ".crw", ".dcr", ".kdc"):
+               ".crw", ".dcr", ".kdc", ".qtk", ".pxn"):
         frame = dng.load_dng(path)
         # RW2 carries per-channel blacks in its tags; the camconst value
         # is an additional pedestal (dcraw merges `black` into cblack)

@@ -1,7 +1,7 @@
 """Malformed-input corpus over every native decode family.
 
 The native decoder (io/native/artraw.cc) parses untrusted bytes; its
-bounds guards are only real if tests hit them. For each of the 18
+bounds guards are only real if tests hit them. For each of the 19
 format families this corpus takes a valid synthetic file and feeds the
 decoder systematic corruptions:
 
@@ -35,6 +35,7 @@ import util_mrw
 import util_nef
 import util_orf
 import util_pef
+import util_radc
 import util_raf
 import util_raf_compressed
 import util_rw2
@@ -79,6 +80,10 @@ def _make_writers():
         "x3f": lambda p: util_x3f.write_x3f(p, rgb),
         "crw": lambda p: util_crw.write_crw(p, m),
         "dcr": lambda p: util_dcr.write_dcr(p, _mosaic(5, 32, 256)),
+        "qtk": lambda p: util_radc.write_qktn(
+            p, np.random.default_rng(8).integers(0, 32, (H, W))),
+        "kdc": lambda p: util_radc.write_kdc_radc(
+            p, np.random.default_rng(9).integers(0, 32, (512, 768))),
     }
 
 
