@@ -92,9 +92,11 @@ def main():
     from art_tpu.pipeline.develop import process_image
 
     def run_c1():
+        # the real CLI path: output_path triggers the device-side u8+HWC
+        # output (74MB over the tunnel instead of 295MB of f32 planes)
         frame = load_raw(raw_path)
-        out = np.asarray(process_image(frame, pp1))
-        save_image("/tmp/bench_c1.jpg", out)
+        frame.filename = None  # synthetic: skip the metadata harvest
+        process_image(frame, pp1, output_path="/tmp/bench_c1.jpg")
 
     run_c1()
     t0 = time.time()
