@@ -12,7 +12,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 import numpy as np
 
@@ -57,6 +58,9 @@ def main():
              "first_run_s": round(cold, 2), "steady_s": round(warm, 3)})
         print(json.dumps(out["resolutions"][-1]), flush=True)
     print(json.dumps(out))
+    if "--out" in sys.argv:
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
