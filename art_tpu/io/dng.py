@@ -59,7 +59,10 @@ def load_dng(path) -> RawFrame:
         cam_xyz = meta["color_matrix1"]
 
     return RawFrame(
-        cfa=img.astype(np.float32),
+        # keep the decoder's uint16 counts: the host-side f32 widen
+        # (~0.25s/24MP) is pure waste — every consumer converts on use
+        # and the device program widens after the u16 H2D upload
+        cfa=img,
         integral=True,
         pattern=pattern,
         xtrans=xtrans,

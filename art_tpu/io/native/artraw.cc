@@ -175,24 +175,46 @@ struct HuffTable {
     int32_t maxcode[18];
     int32_t valptr[17];
     uint8_t vals[256];
+    // 8-bit-lookahead fast path: lut_len[peek8] = code length (0 =
+    // code longer than 8 bits, take the canonical walk)
+    uint8_t lut_len[256] = {};
+    uint8_t lut_val[256] = {};
+    // 16-bit-lookahead combined symbol+magnitude LUT (LJ92 scan only):
+    // fast16[peek16] = consumed_bits << 16 | (uint16)diff; 0 = slow
+    // path (one 256KB array keeps the lookup a single cache access)
+    std::vector<int32_t> fast16;
     bool valid = false;
 };
+
+// Fill the 8-bit fast-decode LUT from the canonical tables (codes of
+// length <= 8 cover virtually every symbol in real raw streams).
+static void build_hufflut(HuffTable& h) {
+    for (int l = 1; l <= 8; ++l) {
+        for (int code = h.mincode[l]; code <= h.maxcode[l]; ++code) {
+            uint8_t val = h.vals[h.valptr[l] + code - h.mincode[l]];
+            int base = code << (8 - l);
+            for (int j = 0; j < (1 << (8 - l)); ++j) {
+                h.lut_len[base + j] = (uint8_t)l;
+                h.lut_val[base + j] = val;
+            }
+        }
+    }
+}
 
 struct BitReader {
     const uint8_t* p;
     const uint8_t* end;
-    uint32_t bits = 0;
+    uint64_t bits = 0;  // top-aligned at bit 63
     int nbits = 0;
     bool eof = false;
 
     BitReader(const uint8_t* p_, const uint8_t* e_) : p(p_), end(e_) {}
 
     void fill() {
-        while (nbits <= 24) {
+        while (nbits <= 48) {
             if (p >= end) {
                 eof = true;
-                bits |= 0; // feed zeros
-                nbits += 8;
+                nbits += 8; // feed zeros
                 continue;
             }
             uint8_t b = *p++;
@@ -207,21 +229,25 @@ struct BitReader {
                     continue;
                 }
             }
-            bits |= (uint32_t)b << (24 - nbits);
+            bits |= (uint64_t)b << (56 - nbits);
             nbits += 8;
         }
     }
     int get(int n) {
         if (n == 0) return 0;
         if (nbits < n) fill();
-        int v = (int)(bits >> (32 - n));
+        int v = (int)(bits >> (64 - n));
         bits <<= n;
         nbits -= n;
         return v;
     }
     int peek(int n) {
         if (nbits < n) fill();
-        return (int)(bits >> (32 - n));
+        return (int)(bits >> (64 - n));
+    }
+    void skip(int n) {
+        bits <<= n;
+        nbits -= n;
     }
 };
 
@@ -234,6 +260,37 @@ static int huff_decode(BitReader& br, const HuffTable& h) {
     }
     if (l > 16) return -1;
     return h.vals[h.valptr[l] + code - h.mincode[l]];
+}
+
+// Combined symbol+magnitude table over a 16-bit lookahead: one peek
+// decodes both the SSSS category and its extend()ed difference when
+// code_len + ssss <= 16 (the overwhelmingly common case).
+static void build_hufflut16(HuffTable& h) {
+    h.fast16.assign(65536, 0);
+    for (int idx = 0; idx < 65536; ++idx) {
+        int top8 = idx >> 8;
+        int l = h.lut_len[top8];
+        if (!l) continue;
+        int t = h.lut_val[top8];
+        if (t == 0) {
+            h.fast16[idx] = l << 16;
+            continue;
+        }
+        if (t >= 16 || l + t > 16) continue;  // slow path
+        int mag = (idx >> (16 - l - t)) & ((1 << t) - 1);
+        int diff = (mag < (1 << (t - 1))) ? mag - (1 << t) + 1 : mag;
+        h.fast16[idx] = ((l + t) << 16) | (uint16_t)(int16_t)diff;
+    }
+}
+
+static inline int huff_decode_fast(BitReader& br, const HuffTable& h) {
+    int idx = br.peek(8);
+    int l = h.lut_len[idx];
+    if (l) {
+        br.skip(l);
+        return h.lut_val[idx];
+    }
+    return huff_decode(br, h);
 }
 
 static int extend(int v, int t) {
@@ -304,6 +361,8 @@ struct LJ92 {
                             code <<= 1;
                         }
                         h.maxcode[17] = 0x7FFFFFFF;
+                        build_hufflut(h);
+                        build_hufflut16(h);
                         h.valid = true;
                     }
                     break;
@@ -352,12 +411,59 @@ struct LJ92 {
         int maxval = (1 << precision) - 1;
         int rst_count = 0;
 
+        for (int c = 0; c < nc; ++c)
+            if (!tables[comp_tbl[c]].valid) return false;
+
+        // fast path for the dominant DNG shape: one component,
+        // left-predictor scan, no restart markers. Only the previous
+        // row's first value is live (col 0 predicts from above), so no
+        // row buffers; the combined 16-bit LUT decodes symbol +
+        // difference in one lookup.
+        if (nc == 1 && pred == 1 && restart_interval == 0) {
+            const HuffTable& h = tables[comp_tbl[0]];
+            const int32_t* ft = h.fast16.data();
+            int rowstart = 0;
+            for (int row = 0; row < height; ++row) {
+                uint16_t* orow = out + (size_t)row * width;
+                int val = 0;
+                for (int col = 0; col < width; ++col) {
+                    int diff;
+                    int e = ft[br.peek(16)];
+                    if (e) {
+                        br.skip(e >> 16);
+                        diff = (int16_t)e;
+                    } else {
+                        int t = huff_decode_fast(br, h);
+                        if (t < 0) return false;
+                        if (t == 16) {
+                            diff = 32768;
+                        } else {
+                            diff = extend(br.get(t), t);
+                        }
+                    }
+                    int px;
+                    if (col > 0) {
+                        px = val;
+                    } else if (row > 0) {
+                        px = rowstart;
+                    } else {
+                        px = default_val;
+                    }
+                    val = (px + diff) & 0xFFFF;
+                    if (col == 0) rowstart = val;
+                    orow[col] =
+                        (uint16_t)(std::min(val << pt, maxval << pt));
+                }
+            }
+            return true;
+        }
+
         for (int row = 0; row < height; ++row) {
             for (int col = 0; col < width; ++col) {
                 for (int c = 0; c < nc; ++c) {
                     const HuffTable& h = tables[comp_tbl[c]];
                     if (!h.valid) return false;
-                    int t = huff_decode(br, h);
+                    int t = huff_decode_fast(br, h);
                     if (t < 0) return false;
                     int diff;
                     if (t == 16) {
@@ -852,6 +958,7 @@ static void build_nef_hufftable(const NefTree& t, HuffTable& h) {
         total += cnt;
     }
     h.maxcode[17] = 0x7FFFFFFF;
+    build_hufflut(h);
     h.valid = total > 0;
 }
 
@@ -893,6 +1000,17 @@ static int nef_huff_decode(RawBitReader& br, const HuffTable& h) {
     }
     if (l > 16) return -1;
     return h.vals[h.valptr[l] + code - h.mincode[l]];
+}
+
+static inline int nef_huff_decode_fast(RawBitReader& br,
+                                       const HuffTable& h) {
+    int idx = br.peek(8);
+    int l = h.lut_len[idx];
+    if (l) {
+        br.skip(l);
+        return h.lut_val[idx];
+    }
+    return nef_huff_decode(br, h);
 }
 
 static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
@@ -1010,7 +1128,7 @@ static uint16_t* decode_nef(const Reader& r, const std::vector<IFD>& ifds,
             break;
         }
         for (int col = 0; col < width; ++col) {
-            int t = nef_huff_decode(br, huff);
+            int t = nef_huff_decode_fast(br, huff);
             if (t < 0) { ok = false; break; }
             int len = t & 15;
             int shl = t >> 4;
@@ -5112,6 +5230,7 @@ static void build_crw_hufftable(const uint8_t* t, size_t tlen,
         code <<= 1;
     }
     h.maxcode[17] = 0x7FFFFFFF;
+    build_hufflut(h);
     h.valid = true;
 }
 
@@ -5228,7 +5347,7 @@ static uint16_t* decode_crw(const uint8_t* buf, size_t len,
         for (int64_t block = 0; block < nblocks; ++block) {
             memset(diffbuf, 0, sizeof(diffbuf));
             for (int i = 0; i < 64; ++i) {
-                int leaf = huff_decode(br, huff[i > 0]);
+                int leaf = huff_decode_fast(br, huff[i > 0]);
                 if (leaf < 0) { free(img); return nullptr; }
                 if (leaf == 0 && i) break;       // EOB
                 if (leaf == 0xff) continue;

@@ -37,7 +37,8 @@ def is_raw_file(path) -> bool:
 class RawFrame:
     """Decoded raw frame: CFA plane + static sensor/color metadata."""
 
-    cfa: np.ndarray  # (H, W) float32, raw ADU values (black NOT subtracted)
+    cfa: np.ndarray  # (H, W) raw ADU values, black NOT subtracted;
+    # float32, or uint16 when `integral` (native-decoded counts)
     pattern: str | None = "RGGB"  # Bayer 2x2; None for non-mosaic (RGB/mono)
     xtrans: tuple | None = None  # 6x6 nested tuple of 0/1/2 when X-Trans
     black: np.ndarray = dataclasses.field(

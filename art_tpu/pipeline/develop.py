@@ -114,8 +114,8 @@ def plan(frame, pp, fast=False, out_u8=False):
         # passthrough; CFA-domain preprocessing does not apply.
         foveon = frame.cfa.ndim == 3
         h, w = frame.cfa.shape[-2:]
-        cfa_padded, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
-        shape = cfa_padded.shape[-2:]
+        pm = settings.pad_multiple
+        shape = (((h + pm - 1) // pm) * pm, ((w + pm - 1) // pm) * pm)
         # raw scaling plan (scaleColors)
         bayer_adjust = None
         if frame.pattern is not None and pp.raw.bayer.black_enabled:
