@@ -21,7 +21,7 @@ def _fence(out):
     np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 2),)])
 
 
-def time_config(frame, pp, n=10):
+def time_config(frame, pp, n=8, batches=3):
     from art_tpu.core.image import pad_to_multiple
     from art_tpu.pipeline.develop import _executor, plan
     from art_tpu.settings import settings
@@ -32,11 +32,14 @@ def time_config(frame, pp, n=10):
     inp = jax.device_put(inp)
     data = jax.device_put(data)
     _fence(run(inp, data))
-    t0 = time.time()
-    for _ in range(n):
-        out = run(inp, data)
-    _fence(out)
-    return (time.time() - t0) / n * 1000
+    best = float("inf")
+    for _ in range(batches):
+        t0 = time.time()
+        for _ in range(n):
+            out = run(inp, data)
+        _fence(out)
+        best = min(best, (time.time() - t0) / n * 1000)
+    return best
 
 
 def main():
@@ -75,6 +78,10 @@ def main():
     variants.append(("tonecurve off", pp))
     pp = make_pp(); pp.exposure.hrmode = "Off"
     variants.append(("hl off", pp))
+    pp = make_pp(); pp.raw.bayer.method = "none"
+    variants.append(("demosaic->none", pp))
+    pp = make_pp(); pp.denoise.enabled = False; pp.tone_curve.enabled = False
+    variants.append(("denoise+tonecurve off", pp))
 
     for name, pp in variants:
         try:
