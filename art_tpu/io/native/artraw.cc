@@ -5544,8 +5544,9 @@ uint16_t* artraw_decode(const uint8_t* buf, size_t len, ArtRawMeta* meta);
 // Honest provenance, as with CRX: the bitstream model follows dcraw
 // (the only public spec); the code is a fresh structured
 // implementation with bounds guards dcraw lacks. Scope: raw section
-// formats 30 (TRUE), 6 (huffman tree) and 5 (packed); Quattro (35,
-// mixed-resolution planes) routes to the preconverter hook.
+// formats 30 (TRUE), 6 (huffman tree), 5 (packed), and 35 (Quattro
+// mixed-resolution planes — beyond-reference: dcraw has no Quattro
+// support at all; the layout follows the public x3f_tools x3f_io.c).
 // ---------------------------------------------------------------------------
 
 namespace {
@@ -5741,7 +5742,6 @@ static uint16_t* decode_x3f(const uint8_t* buf, size_t len,
     if (fmt < 0 || width <= 0 || height <= 0 || width > 65535
         || height > 65535)
         return nullptr;
-    if (fmt == 35) return nullptr;  // Quattro: preconverter hook
     const uint8_t* data = buf + raw_off;
     const uint8_t* dend = data + raw_len;
 
@@ -5750,7 +5750,82 @@ static uint16_t* decode_x3f(const uint8_t* buf, size_t len,
     if (!out) return nullptr;
     bool ok = false;
 
-    if (fmt == 30) {
+    if (fmt == 35) {
+        // Quattro (sd Quattro / dp Quattro, beyond-reference: the
+        // reference needs LibRaw for these). Layout per the public
+        // x3f_tools (x3f_io.c) de-facto spec: a 16-byte prefix of
+        // per-plane dims (3 x {u16 rows, u16 cols} + u32 layout word),
+        // then the same TRUE-engine structure as format 30 shifted by
+        // 16. The top (blue) plane is full resolution; the other two
+        // are quarter resolution and are 2x2-replicated here into the
+        // (3, H, W) output the Foveon pipeline expects.
+        if (raw_len >= 16 + 48) {
+            int prow[3], pcol[3];
+            bool sane = true;
+            for (int c = 0; c < 3; ++c) {
+                prow[c] = data[4 * c] | (data[4 * c + 1] << 8);
+                pcol[c] = data[4 * c + 2] | (data[4 * c + 3] << 8);
+                if (prow[c] <= 0 || pcol[c] <= 0 || prow[c] > height ||
+                    pcol[c] > width)
+                    sane = false;
+            }
+            const uint8_t* th = data + 16;  // TRUE header
+            uint8_t tbl_len[256] = {0};
+            uint8_t tbl_leaf[256] = {0};
+            for (int i = 0; i < 13; ++i) {
+                int clen = th[8 + 2 * i];
+                int code = th[8 + 2 * i + 1];
+                if (clen > 8) continue;
+                for (int j = 0; j < (256 >> clen); ++j) {
+                    int k = code + j;
+                    if (k < 256) {
+                        tbl_len[k] = (uint8_t)clen;
+                        tbl_leaf[k] = (uint8_t)i;
+                    }
+                }
+            }
+            size_t roff[4];
+            roff[0] = 16 + 48;
+            for (int c = 0; c < 3 && sane; ++c) {
+                uint32_t plen = (uint32_t)(th[36 + 4 * c]
+                    | (th[36 + 4 * c + 1] << 8)
+                    | (th[36 + 4 * c + 2] << 16)
+                    | (th[36 + 4 * c + 3] << 24));
+                roff[c + 1] = (roff[c] + plen + 15) & ~(size_t)15;
+                if (roff[c + 1] > raw_len + 16) sane = false;
+            }
+            if (sane) {
+                std::vector<uint16_t> tmp;
+                ok = true;
+                for (int c = 0; c < 3; ++c) {
+                    const uint8_t* ps = data + roff[c];
+                    const uint8_t* pe =
+                        roff[c + 1] <= raw_len ? data + roff[c + 1] : dend;
+                    uint16_t* dst = out + (size_t)c * npix;
+                    if (prow[c] == height && pcol[c] == width) {
+                        x3f_true_plane(ps, pe, width, height, tbl_len,
+                                       tbl_leaf, dst, width);
+                    } else if (prow[c] * 2 >= height &&
+                               pcol[c] * 2 >= width) {
+                        tmp.assign((size_t)prow[c] * pcol[c], 0);
+                        x3f_true_plane(ps, pe, pcol[c], prow[c], tbl_len,
+                                       tbl_leaf, tmp.data(), pcol[c]);
+                        for (int y = 0; y < height; ++y) {
+                            const uint16_t* sr =
+                                tmp.data() +
+                                (size_t)std::min(y / 2, prow[c] - 1) *
+                                    pcol[c];
+                            uint16_t* dr = dst + (size_t)y * width;
+                            for (int x = 0; x < width; ++x)
+                                dr[x] = sr[std::min(x / 2, pcol[c] - 1)];
+                        }
+                    } else {
+                        ok = false;
+                    }
+                }
+            }
+        }
+    } else if (fmt == 30) {
         // TRUE engine header: 8 bytes skipped, 13 (clen, code) huffman
         // pairs, 2 pad bytes, three u32 plane sizes; plane c data starts
         // 16-byte aligned from the section data origin (roff[0] = 48)

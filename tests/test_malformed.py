@@ -82,6 +82,9 @@ def _make_writers():
         "dcr": lambda p: util_dcr.write_dcr(p, _mosaic(5, 32, 256)),
         "qtk": lambda p: util_radc.write_qktn(
             p, np.random.default_rng(8).integers(0, 32, (H, W))),
+        "x3f_q": lambda p: util_x3f.write_x3f_quattro(
+            p, _mosaic(10, 16, 32, hi=3000), _mosaic(11, 16, 32, hi=3000),
+            _mosaic(12, 32, 64, hi=3000)),
         "kdc": lambda p: util_radc.write_kdc_radc(
             p, np.random.default_rng(9).integers(0, 32, (512, 768))),
     }

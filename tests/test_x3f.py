@@ -91,28 +91,38 @@ def test_x3f_develops(tmp_path):
     assert out.max() > 0.01
 
 
-def test_x3f_quattro_unsupported(tmp_path):
-    """Format 35 (Quattro mixed-resolution) routes to the preconverter
-    hook -> NotImplementedError when none is registered."""
-    import struct
+def test_x3f_quattro_roundtrip(tmp_path):
+    """Format 35 (Quattro, beyond-reference: dcraw has no support and
+    ART needs LibRaw): 16-byte per-plane-dims prefix + TRUE structure
+    (x3f_tools x3f_io.c layout); quarter-res top planes replicate 2x2
+    into the (3, H, W) Foveon frame."""
+    from tests.util_x3f import write_x3f_quattro
 
-    from tests.util_x3f import _true_section_payload
+    h, w = 24, 32
+    q0 = _smooth_rgb(h // 2, w // 2, seed=7)[0]
+    q1 = _smooth_rgb(h // 2, w // 2, seed=8)[0]
+    p2 = _smooth_rgb(h, w, seed=9)[0]
+    p = tmp_path / "q.x3f"
+    expected = write_x3f_quattro(p, q0, q1, p2)
+    frame = load_raw(p)
+    assert frame.pattern is None and frame.cfa.ndim == 3
+    np.testing.assert_array_equal(frame.cfa.astype(np.int64), expected)
+    assert frame.model == "sd Quattro"
 
-    rgb = _smooth_rgb(8, 12, seed=6)
-    payload = _true_section_payload(rgb)
-    header = bytearray(b"FOVb") + struct.pack("<I", 0x00020003)
-    header += b"\0" * 16 + struct.pack("<I", 0)
-    header += struct.pack("<III", 12, 8, 0)
-    img = bytearray(b"SECi") + struct.pack("<IIIIII", 0x00020003, 3, 35,
-                                           12, 8, 0) + payload
-    out = bytearray(header)
-    img_off = len(out)
-    out += img
-    dir_off = len(out)
-    out += b"SECd" + struct.pack("<II", 0x00020000, 1)
-    out += struct.pack("<II", img_off, len(img)) + b"IMAG"
-    out += struct.pack("<I", dir_off)
-    p = tmp_path / "quattro.x3f"
-    p.write_bytes(bytes(out))
-    with pytest.raises((NotImplementedError, ValueError)):
-        load_raw(p)
+
+def test_x3f_quattro_truncated_fails_cleanly(tmp_path):
+    from tests.util_x3f import write_x3f_quattro
+
+    h, w = 16, 16
+    q0 = _smooth_rgb(h // 2, w // 2, seed=10)[0]
+    q1 = _smooth_rgb(h // 2, w // 2, seed=11)[0]
+    p2 = _smooth_rgb(h, w, seed=12)[0]
+    p = tmp_path / "q.x3f"
+    write_x3f_quattro(p, q0, q1, p2)
+    data = p.read_bytes()
+    t = tmp_path / "trunc.x3f"
+    t.write_bytes(data[: len(data) // 3])
+    try:
+        load_raw(t)
+    except (ValueError, RuntimeError, NotImplementedError):
+        pass

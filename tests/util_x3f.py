@@ -145,6 +145,51 @@ def _huff_section_payload(rgb, row_skip_quirk=False):
     return bytes(out)
 
 
+def _quattro_section_payload(q0, q1, p2):
+    """Format-35 (Quattro) data: 16-byte per-plane-dims prefix, then
+    the TRUE structure (x3f_tools x3f_io.c layout). q0/q1 are the
+    quarter-resolution top planes, p2 the full-resolution plane."""
+    planes_arr = [q0, q1, p2]
+    enc = [encode_true_plane(p) for p in planes_arr]
+    head = bytearray()
+    for p in planes_arr:
+        head += struct.pack("<HH", p.shape[0], p.shape[1])
+    head += struct.pack("<I", 1)  # quattro layout word
+    head += bytes(8)  # TRUE seeds/unknown
+    for i in range(13):
+        head += bytes([4, i << 4])
+    head += b"\0\0"
+    for p in enc:
+        head += struct.pack("<I", len(p))
+    assert len(head) == 16 + 48
+    out = bytearray(head)
+    for p in enc:
+        out += p
+        while len(out) % 16:
+            out.append(0)
+    return bytes(out)
+
+
+def write_x3f_quattro(path, q0, q1, p2, make="SIGMA",
+                      model="sd Quattro", iso=100):
+    """Write a synthetic Quattro X3F; returns the expected (3, H, W)
+    decode (quarter planes 2x2-replicated)."""
+    q0 = np.asarray(q0)
+    q1 = np.asarray(q1)
+    p2 = np.asarray(p2)
+    h, w = p2.shape
+    payload = _quattro_section_payload(q0, q1, p2)
+    rgb = np.zeros((3, h, w), np.uint16)
+    write_x3f(path, rgb, fmt=35, make=make, model=model, iso=iso,
+              payload=payload)
+    exp = np.zeros((3, h, w), np.int64)
+    for c, q in enumerate((q0, q1)):
+        rep = np.repeat(np.repeat(q, 2, axis=0), 2, axis=1)
+        exp[c] = rep[:h, :w]
+    exp[2] = p2
+    return exp
+
+
 def write_x3f(path, rgb, fmt=30, make="SIGMA", model="DP2 Merrill",
               iso=200, rotation=0, payload=None):
     """Write a minimal X3F: FOVb header, one raw IMAG section (type 3),
