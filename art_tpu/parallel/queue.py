@@ -118,8 +118,17 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
     mesh = Mesh(np.array(devices), axis_names=("batch",))
     batch_sharding = NamedSharding(mesh, P("batch"))
 
+    # per-device batching: each device develops `device_batch` images
+    # per dispatch through an in-program lax.map chain — the serial
+    # per-execute dispatch overhead (~2.2ms on the tunnel, microbw.py)
+    # amortizes across the batch. vmap cannot batch the Pallas ANY-
+    # memspace buffers; lax.map compiles the body once.
+    dev_batch = max(1, int(getattr(settings, "device_batch", 1)))
+    group_size = n_dev * dev_batch
+
     pool = ThreadPoolExecutor(max_workers=settings.host_threads)
-    window = max(n_dev + 1, prefetch * n_dev)
+    # the decode window must cover a full group or batching never kicks in
+    window = max(group_size + 1, prefetch * group_size)
     sem = threading.Semaphore(window)
     done_q: "queue_mod.Queue" = queue_mod.Queue()
     in_flight = [0]
@@ -176,9 +185,14 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
         if config not in compiled_cache:
             fn = _build_run(config)
 
-            def _per_device(inp, data, _fn=fn):
-                out = _fn(inp[0], jax.tree.map(lambda x: x[0], data))
-                return out[None]
+            if dev_batch == 1:
+                def _per_device(inp, data, _fn=fn):
+                    out = _fn(inp[0], jax.tree.map(lambda x: x[0], data))
+                    return out[None]
+            else:
+                def _per_device(inp, data, _fn=fn):
+                    return jax.lax.map(
+                        lambda xd: _fn(xd[0], xd[1]), (inp, data))
 
             try:
                 from jax import shard_map
@@ -196,7 +210,7 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
         one mesh pass (pad by repeating the last frame) and hands the
         blocking readback + encode to a worker thread."""
         batched = get_compiled(config)
-        sel = items + [items[-1]] * (n_dev - len(items))
+        sel = items + [items[-1]] * (group_size - len(items))
         inputs = np.stack([d[2] for _, d in sel])
         data_stack = jax.tree.map(
             lambda *xs: np.stack(xs), *[d[1] for _, d in sel])
@@ -234,11 +248,12 @@ def process_batch(jobs, devices=None, progress=None, prefetch=2,
         config = d[0]
         buckets.setdefault(config, []).append((idx, d))
         held += 1
-        if len(buckets[config]) == n_dev:
+        if len(buckets[config]) == group_size:
             run_group(config, buckets.pop(config))
-            held -= n_dev
+            held -= group_size
         # many distinct configs can starve the decode window while every
-        # bucket sits below n_dev: flush the fullest to keep frames moving
+        # bucket sits below a full group: flush the fullest to keep
+        # frames moving
         while held >= window - n_dev and buckets:
             cfg = max(buckets, key=lambda c: len(buckets[c]))
             items = buckets.pop(cfg)

@@ -1125,6 +1125,20 @@ def _executor(config: PipelineConfig):
     return jax.jit(_build_run(config))
 
 
+@functools.lru_cache(maxsize=64)
+def _executor_batched(config: PipelineConfig, batch: int):
+    """Batched device step: one dispatch develops `batch` same-config
+    images (stacked inputs + per-image stacked data leaves). The tunnel
+    charges ~2.2ms of serial per-execute overhead (tools/profiling/
+    microbw.py noop floor); a lax.map body compiles once and chains the
+    images inside one program, amortizing it. vmap is not an option —
+    the Pallas AMaZE/wavelet stages hold ANY-memspace HBM buffers that
+    the batching transform cannot tile."""
+    run = _build_run(config)
+    return jax.jit(
+        lambda xs, ds: jax.lax.map(lambda xd: run(xd[0], xd[1]), (xs, ds)))
+
+
 def develop(frame, pp, fast=False, out_u8=False):
     """Full develop: returns encoded output RGB (3, H, W) float32 in
     [0,1] (uint8 0-255 with out_u8=True)."""

@@ -30,6 +30,12 @@ class Settings:
     # Pad images to multiples of this tile edge before jit (ARCHITECTURE.md:
     # bucket-and-pad keeps the jit cache small; 128 matches lane width).
     pad_multiple: int = 128
+    # Images developed per device per dispatch in the batch queue (an
+    # in-program lax.map chain; amortizes the fixed per-execute dispatch
+    # cost — ~2.2ms over the axon tunnel, tools/profiling/microbw.py).
+    # Partial groups are padded by repeating the last frame, so very
+    # small catalogs waste compute above 1.
+    device_batch: int = 4
     # XMP sidecar naming (settings.h XmpSidecarStyle): "std" = file.xmp,
     # "ext" = file.raw.xmp
     xmp_sidecar_style: str = "std"

@@ -9,10 +9,19 @@ iterations each, fenced by a host readback. The bench chip is shared and
 reached through a network tunnel; single-batch means are inflated by up
 to 2.5x by neighbor contention (documented in tools/tpu_smoke.py), while
 the min-of-batches converges on the machine's steady-state throughput —
-the quantity the metric is defined over. `secondary_textured` runs the
-same compiled program on a synthetic textured scene (gradients + edges +
-mild noise) — real photographs are not uniform random noise, and
-data-dependent kernels (AMaZE Nyquist handling) see the difference.
+the quantity the metric is defined over.
+
+The primary value runs the production batch-queue device step: each
+dispatch develops `settings.device_batch` (= 4) images through an
+in-program lax.map chain (`develop._executor_batched`, the same program
+`parallel/queue.py` dispatches per device). This amortizes the fixed
+per-execute dispatch cost (~2.2ms on the axon tunnel — measured by
+tools/profiling/microbw.py noop floor) across the batch;
+`single_dispatch` reports the one-image-per-execute figure.
+`secondary_textured` runs the same compiled program on a synthetic
+textured scene (gradients + edges + mild noise) — real photographs are
+not uniform random noise, and data-dependent kernels (AMaZE Nyquist
+handling) see the difference.
 """
 
 from __future__ import annotations
@@ -74,11 +83,18 @@ def main():
     pp.denoise.luminance = 20.0
     pp.denoise.chrominance = 20.0
 
+    from art_tpu.pipeline.develop import _executor_batched
+
     config, data = plan(frame, pp)
     inp, _ = pad_to_multiple(frame.cfa, settings.pad_multiple)
     run = _executor(config)
+    B = max(1, settings.device_batch)
+    run_b = _executor_batched(config, B)
 
     data_dev = jax.device_put(data)
+    data_b = jax.device_put(
+        jax.tree_util.tree_map(lambda x: np.stack([np.asarray(x)] * B),
+                               data))
 
     def measure(cfa, n=10, batches=3):
         inp_dev = jax.device_put(cfa)
@@ -95,11 +111,26 @@ def main():
             best = min(best, (time.time() - t0) / n)
         return 1.0 / best
 
-    value = measure(inp)
+    def measure_batched(cfa, n=4, batches=3):
+        inp_dev = jax.device_put(
+            np.broadcast_to(cfa, (B,) + cfa.shape).copy())
+        out = run_b(inp_dev, data_b)
+        np.asarray(out[0, 0, 0, :2])
+        best = float("inf")
+        for _ in range(batches):
+            t0 = time.time()
+            for _ in range(n):
+                out = run_b(inp_dev, data_b)
+            np.asarray(out[0, 0, 0, :2])
+            best = min(best, (time.time() - t0) / (n * B))
+        return 1.0 / best
+
+    value_single = measure(inp)
+    value = measure_batched(inp)
 
     frame_t = synthesize_bayer(_textured_scene(h, w), pattern="RGGB")
     inp_t, _ = pad_to_multiple(frame_t.cfa, settings.pad_multiple)
-    value_t = measure(inp_t)
+    value_t = measure_batched(inp_t)
 
     print(json.dumps({
         "metric": "24MP raw->sRGB images/sec/chip (full develop pipeline)",
@@ -107,6 +138,8 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(value / 20.0, 3),
         "secondary_textured": round(value_t, 3),
+        "single_dispatch": round(value_single, 3),
+        "device_batch": B,
     }))
 
 

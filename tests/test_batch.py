@@ -58,12 +58,22 @@ def test_batch_streaming_bounded_memory(tmp_path):
     up-front)."""
     import jax
 
+    from art_tpu.settings import settings
+
     paths = make_dngs(tmp_path, 33)
     jobs = [(str(p), ProcParams(), str(tmp_path / f"s{i}.jpg"))
             for i, p in enumerate(paths)]
     stats = {}
-    results = process_batch(jobs, devices=jax.devices(), prefetch=2,
-                            stats=stats)
+    # the decode window scales with device_batch (it must cover a full
+    # group); pin batch=1 here so the catalog exceeds the window and the
+    # streaming invariant is actually exercised
+    prev = settings.device_batch
+    settings.device_batch = 1
+    try:
+        results = process_batch(jobs, devices=jax.devices(), prefetch=2,
+                                stats=stats)
+    finally:
+        settings.device_batch = prev
     assert all(results)
     n_dev = len(jax.devices())
     assert stats["peak_in_flight"] <= 2 * n_dev

@@ -49,8 +49,12 @@ def main():
     for b in (1, 2, 4):
         binp = jax.device_put(np.broadcast_to(inp, (b,) + inp.shape).copy())
         bdata = jax.device_put(data)
-        f = jax.jit(jax.vmap(run, in_axes=(0, None))) if b > 1 \
-            else jax.jit(run)
+        if b > 1:
+            # vmap cannot batch ANY-memspace pallas buffers; a lax.map
+            # body compiles once and the executes chain in-program
+            f = jax.jit(lambda xs, d: jax.lax.map(lambda x: run(x, d), xs))
+        else:
+            f = jax.jit(run)
         arg = binp if b > 1 else jax.device_put(inp)
         t0 = time.time()
         out = f(arg, bdata)
