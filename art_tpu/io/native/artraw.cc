@@ -5089,6 +5089,135 @@ static void radc_fill_meta(ArtRawMeta* meta, int width, int height,
     snprintf(meta->model, 64, "%s", model);
 }
 
+// Apple QuickTake 100 ("qktk" magic): three-stage 4/2-bit delta-coded
+// GRBG mosaic (dcraw.cc quicktake_100_load_raw :2756). The green plane
+// is predicted from three causal neighbors plus a 16-step table; the
+// chroma plane in two row-parity passes with a sharpness-classified
+// 6x4 step table; a final pass unbiases chroma against green; a fixed
+// 256->10-bit tone curve finishes. The step/tone tables are fixed
+// camera-side constants — they ARE the format.
+static const int16_t kQtkGStep[16] = {-89, -60, -44, -32, -22, -15, -8,
+                                      -2, 2, 8, 15, 22, 32, 44, 60, 89};
+static const int16_t kQtkRStep[6][4] = {
+    {-3, -1, 1, 3},   {-5, -1, 1, 5},   {-8, -2, 2, 8},
+    {-13, -3, 3, 13}, {-19, -4, 4, 19}, {-28, -6, 6, 28}};
+static const uint16_t kQtkCurve[256] = {
+    0,1,2,3,4,5,6,7,8,9,11,12,13,14,15,16,17,18,19,20,21,22,23,24,25,26,
+    27,28,29,30,32,33,34,35,36,37,38,39,40,41,42,43,44,45,46,47,48,49,50,
+    51,53,54,55,56,57,58,59,60,61,62,63,64,65,66,67,68,69,70,71,72,74,75,
+    76,77,78,79,80,81,82,83,84,86,88,90,92,94,97,99,101,103,105,107,110,
+    112,114,116,118,120,123,125,127,129,131,134,136,138,140,142,144,147,
+    149,151,153,155,158,160,162,164,166,168,171,173,175,177,179,181,184,
+    186,188,190,192,195,197,199,201,203,205,208,210,212,214,216,218,221,
+    223,226,230,235,239,244,248,252,257,261,265,270,274,278,283,287,291,
+    296,300,305,309,313,318,322,326,331,335,339,344,348,352,357,361,365,
+    370,374,379,383,387,392,396,400,405,409,413,418,422,426,431,435,440,
+    444,448,453,457,461,466,470,474,479,483,487,492,496,500,508,519,531,
+    542,553,564,575,587,598,609,620,631,643,654,665,676,687,698,710,721,
+    732,743,754,766,777,788,799,810,822,833,844,855,866,878,889,900,911,
+    922,933,945,956,967,978,989,1001,1012,1023};
+
+static uint16_t* decode_qtk100(const uint8_t* buf, size_t len,
+                               ArtRawMeta* meta) {
+    if (len < 740) return nullptr;
+    auto be16 = [&](size_t o) { return (buf[o] << 8) | buf[o + 1]; };
+    int height = be16(544), width = be16(546);
+    size_t off = be16(552) == 30 ? 738 : 736;
+    int orientation = 1;
+    if (height > width) {
+        int t = width; width = height; height = t;
+        orientation = (~be16(off - 6) & 3) ? 8 : 6;
+    }
+    // the working buffer is a fixed 484x644 (image + 2-pixel apron)
+    if (width < 4 || height < 4 || width > 640 || height > 480 ||
+        (width & 1) || (height & 1))
+        return nullptr;
+    auto lim = [](int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); };
+    std::vector<uint8_t> px((size_t)484 * 644, 0x80);
+    auto P = [&](int r, int c) -> uint8_t& {
+        return px[(size_t)r * 644 + c];
+    };
+    RawBitReader br(buf + off, buf + len);
+    int val = 0;
+    // stage 1: green diagonal, causal 3-tap prediction + 4-bit steps
+    for (int row = 2; row < height + 2; ++row) {
+        int col = 2 + (row & 1);
+        for (; col < width + 2; col += 2) {
+            val = ((P(row - 1, col - 1) + 2 * P(row - 1, col + 1) +
+                    P(row, col - 2)) >> 2) + kQtkGStep[br.get(4)];
+            val = lim(val);
+            P(row, col) = (uint8_t)val;
+            if (col < 4)
+                P(row, col - 2) = P(row + 1, ~row & 1) = (uint8_t)val;
+            if (row == 2)
+                P(row - 1, col + 1) = P(row - 1, col + 3) = (uint8_t)val;
+        }
+        P(row, col) = (uint8_t)val;
+    }
+    // stage 2: chroma, two row-parity passes, sharpness-classified steps
+    for (int rb = 0; rb < 2; ++rb)
+        for (int row = 2 + rb; row < height + 2; row += 2)
+            for (int col = 3 - (row & 1); col < width + 2; col += 2) {
+                int sharp;
+                if (row < 4 || col < 4) {
+                    sharp = 2;
+                } else {
+                    int v = abs(P(row - 2, col) - P(row, col - 2)) +
+                            abs(P(row - 2, col) - P(row - 2, col - 2)) +
+                            abs(P(row, col - 2) - P(row - 2, col - 2));
+                    sharp = v < 4 ? 0 : v < 8 ? 1 : v < 16 ? 2
+                            : v < 32 ? 3 : v < 48 ? 4 : 5;
+                }
+                val = ((P(row - 2, col) + P(row, col - 2)) >> 1) +
+                      kQtkRStep[sharp][br.get(2)];
+                val = lim(val);
+                P(row, col) = (uint8_t)val;
+                if (row < 4) P(row - 2, col + 2) = (uint8_t)val;
+                if (col < 4) P(row + 2, col - 2) = (uint8_t)val;
+            }
+    // stage 3: unbias chroma against horizontal green
+    for (int row = 2; row < height + 2; ++row)
+        for (int col = 3 - (row & 1); col < width + 2; col += 2) {
+            val = ((P(row, col - 1) + (P(row, col) << 2) +
+                    P(row, col + 1)) >> 1) - 0x100;
+            P(row, col) = (uint8_t)lim(val);
+        }
+    uint16_t* img = (uint16_t*)calloc((size_t)width * height, 2);
+    if (!img) return nullptr;
+    for (int row = 0; row < height; ++row)
+        for (int col = 0; col < width; ++col)
+            img[(size_t)row * width + col] = kQtkCurve[P(row + 2, col + 2)];
+    radc_fill_meta(meta, width, height, "Apple", "QuickTake 100");
+    meta->orientation = orientation;
+    for (int i = 0; i < 4; ++i) meta->white[i] = 0x3ff;
+    return img;
+}
+
+// Kodak DC120: 848-byte 8-bit rows with a per-row rotating shift
+// (dcraw.cc kodak_dc120_load_raw :3077; mul/add are the format's fixed
+// row-phase constants).
+static uint16_t* decode_kdc_dc120(const Reader& r,
+                                  const std::vector<IFD>& ifds,
+                                  ArtRawMeta* meta) {
+    static const int mul[4] = {162, 192, 187, 92};
+    static const int add[4] = {0, 636, 424, 212};
+    const int width = 848, height = 976;
+    const TagValue* so = ifds[0].find(273);
+    size_t off = so && !so->nums.empty() ? (size_t)so->nums[0] : 0;
+    if (!off || off + (size_t)height * 848 > r.len) return nullptr;
+    uint16_t* img = (uint16_t*)calloc((size_t)width * height, 2);
+    if (!img) return nullptr;
+    for (int row = 0; row < height; ++row) {
+        const uint8_t* line = r.buf + off + (size_t)row * 848;
+        int shift = row * mul[row & 3] + add[row & 3];
+        for (int col = 0; col < width; ++col)
+            img[(size_t)row * width + col] = line[(col + shift) % 848];
+    }
+    radc_fill_meta(meta, width, height, "KODAK", "DC120");
+    for (int i = 0; i < 4; ++i) meta->white[i] = 0xff;
+    return img;
+}
+
 // Kodak DC40/DC50 KDC: TIFF container, RADC stream at a fixed offset.
 static uint16_t* decode_kdc_radc(const Reader& r,
                                  const std::vector<IFD>& ifds,
@@ -5991,6 +6120,8 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
         return decode_raf(buf, len, meta);
     if (len > 740 && memcmp(buf, "qktn", 4) == 0)
         return decode_qktn(buf, len, meta);
+    if (len > 740 && memcmp(buf, "qktk", 4) == 0)
+        return decode_qtk100(buf, len, meta);
     if (len > 3700 && memcmp(buf, "PXN\0", 4) == 0)
         return decode_pxn(buf, len, meta);
     if (len > 24 && memcmp(buf + 4, "ftyp", 4) == 0
@@ -6130,6 +6261,9 @@ uint16_t* artraw_decode_dng(const uint8_t* buf, size_t len,
                         m.find("DC40") != std::string::npos;
             if (dc40 || dc50)
                 return decode_kdc_radc(r, ifds, dc50, meta);
+            if (m.find("DC120") != std::string::npos &&
+                (int)ifds[0].num(259, 1) != 7)
+                return decode_kdc_dc120(r, ifds, meta);
         }
     }
 

@@ -1,7 +1,7 @@
 """Malformed-input corpus over every native decode family.
 
 The native decoder (io/native/artraw.cc) parses untrusted bytes; its
-bounds guards are only real if tests hit them. For each of the 19
+bounds guards are only real if tests hit them. For each of the 21
 format families this corpus takes a valid synthetic file and feeds the
 decoder systematic corruptions:
 
@@ -35,6 +35,7 @@ import util_mrw
 import util_nef
 import util_orf
 import util_pef
+import util_qtk
 import util_radc
 import util_raf
 import util_raf_compressed
@@ -87,6 +88,10 @@ def _make_writers():
             _mosaic(12, 32, 64, hi=3000)),
         "kdc": lambda p: util_radc.write_kdc_radc(
             p, np.random.default_rng(9).integers(0, 32, (512, 768))),
+        "qtk_100": lambda p: util_qtk.write_qtk100(p, H, W, seed=13),
+        "kdc_120": lambda p: util_radc.write_kdc_dc120(
+            p, np.random.default_rng(14).integers(
+                0, 256, size=(976, 848)).astype(np.uint8)),
     }
 
 

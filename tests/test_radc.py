@@ -136,3 +136,39 @@ def test_radc_develops(tmp_path):
     out = tmp_path / "dev.jpg"
     process_image(str(p), ProcParams(), output_path=str(out))
     assert out.exists()
+
+
+def test_qtk100_vs_reference_decoder(tmp_path):
+    """QuickTake 100 (qktk): native decode must match an independent
+    Python implementation of the published three-stage recurrence on a
+    random (fixed-width-code) stream."""
+    from util_qtk import write_qtk100
+
+    p = tmp_path / "t.qtk"
+    expected = write_qtk100(p, 32, 48, seed=3)
+    frame = load_raw(p)
+    assert frame.pattern == "GRBG"
+    assert frame.white[0] == 0x3FF
+    np.testing.assert_array_equal(frame.cfa.astype(np.int64), expected)
+
+
+def test_qtk100_larger(tmp_path):
+    from util_qtk import write_qtk100
+
+    p = tmp_path / "b.qtk"
+    expected = write_qtk100(p, 64, 96, seed=4, indicator=30)
+    frame = load_raw(p)
+    np.testing.assert_array_equal(frame.cfa.astype(np.int64), expected)
+
+
+def test_dc120_roundtrip(tmp_path):
+    from util_radc import write_kdc_dc120
+
+    rng = np.random.default_rng(5)
+    rows = rng.integers(0, 256, size=(976, 848), dtype=np.uint8)
+    p = tmp_path / "t120.kdc"
+    expected = write_kdc_dc120(p, rows)
+    frame = load_raw(p)
+    assert frame.cfa.shape == (976, 848)
+    assert frame.white[0] == 0xFF
+    np.testing.assert_array_equal(frame.cfa.astype(np.int64), expected)

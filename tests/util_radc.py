@@ -216,6 +216,57 @@ def write_qktn(path, qm, indicator=0):
     return radc_expected(qm)
 
 
+def write_kdc_dc120(path, rows8):
+    """Kodak DC120 KDC: TIFF with model DC120; 848-byte 8-bit rows with
+    the per-row rotating shift (dcraw.cc kodak_dc120_load_raw :3077).
+    rows8: (976, 848) uint8 of raw line bytes; returns the expected
+    decoded mosaic."""
+    rows8 = np.asarray(rows8, dtype=np.uint8)
+    assert rows8.shape == (976, 848)
+    mul = [162, 192, 187, 92]
+    add = [0, 636, 424, 212]
+    exp = np.zeros((976, 848), np.int64)
+    for r in range(976):
+        shift = r * mul[r & 3] + add[r & 3]
+        exp[r] = np.roll(rows8[r].astype(np.int64), -shift % 848)
+
+    mk = b"KODAK\0"
+    md = b"DC120\0"
+    blocks = bytearray()
+
+    def block(data):
+        off = 8 + len(blocks)
+        blocks.extend(data)
+        if len(blocks) & 1:
+            blocks.append(0)
+        return off
+
+    entries = []
+
+    def entry(tag, type_, count, value):
+        entries.append(struct.pack("<HHII", tag, type_, count, value))
+
+    mko = block(mk)
+    mdo = block(md)
+    stream_off = 8 + len(blocks)
+    payload = bytes(blocks) + rows8.tobytes()
+    ifd_off = 8 + len(payload) + (len(payload) & 1)
+    entry(256, 3, 1, 848)
+    entry(257, 3, 1, 976)
+    entry(271, 2, len(mk), mko)
+    entry(272, 2, len(md), mdo)
+    entry(273, 4, 1, stream_off)
+    with open(path, "wb") as f:
+        f.write(b"II*\0" + struct.pack("<I", ifd_off))
+        f.write(payload)
+        if len(payload) & 1:
+            f.write(b"\0")
+        f.write(struct.pack("<H", len(entries)))
+        f.write(b"".join(entries))
+        f.write(struct.pack("<I", 0))
+    return exp
+
+
 def write_pxn(path, qm):
     """Logitech Fotoman Pixtura: 'PXN' magic, 768x512 at offset 3632."""
     qm = np.asarray(qm)

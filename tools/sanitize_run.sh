@@ -24,7 +24,7 @@ json.dump({
     "sanitizers": "address,undefined (-fno-sanitize-recover=all)",
     "corpus": {"cases": corpus["cases"], "ok": corpus["ok"],
                "failures": corpus["failures"]},
-    "note": "cases = 22 writer variants x (1 valid + ~32 bit-flips + 8 "
+    "note": "cases = 24 writer variants x (1 valid + ~32 bit-flips + 8 "
             "truncations); every case decodes or fails cleanly under "
             "ASan+UBSan via tools/fuzz/artraw_drive",
     "ok": corpus_rc == 0,
