@@ -49,6 +49,9 @@ def _plan(sp, ctx, lum_w):
             est = deconv_auto_radius(frame) if frame is not None else None
             if est is not None:
                 radius = est
+                from art_tpu.pipeline.listeners import report_auto
+
+                report_auto("deconv_radius", float(est))
         static = ("rld", radius, 20)
     elif sp.method == "psf":
         kern = load_psf_kernel(sp.psf_kernel,

@@ -169,6 +169,13 @@ def plan(frame, pp, fast=False, out_u8=False):
             from art_tpu.pipeline.autos import auto_wb_multipliers
 
             wb_mults = auto_wb_multipliers(frame)
+            try:
+                from art_tpu.pipeline.listeners import report_auto
+                from art_tpu.raw.wb import mul2temp
+
+                report_auto("wb", mul2temp(*np.asarray(wb_mults)[:3]))
+            except Exception:
+                pass
         else:
             wb_mults = frame.camera_wb_mults()
 
@@ -459,6 +466,9 @@ def plan(frame, pp, fast=False, out_u8=False):
 
         try:
             gain, black_ev, white_ev = auto_log_params(frame, pp)
+            from art_tpu.pipeline.listeners import report_auto
+
+            report_auto("log", (gain, black_ev, white_ev))
             if pp.logenc.auto_gain:
                 pp.logenc.gain = gain
                 pp.logenc.black_ev = black_ev
@@ -488,6 +498,9 @@ def plan(frame, pp, fast=False, out_u8=False):
                 pp.tone_curve.enabled = True
                 pp.tone_curve.curve = pts
                 pp.tone_curve.from_histmatching = True
+                from art_tpu.pipeline.listeners import report_auto
+
+                report_auto("matched_curve", pts)
         except Exception:
             pass
 
@@ -1203,10 +1216,28 @@ def process_image(path_or_frame, pp, fast=False, output_path=None,
         raise
     notify(listener, "decode")
     t = _tick("decode", t)
+    from art_tpu.pipeline.listeners import (PipelineListener, _Collect,
+                                            fire_autos, wants_histogram)
+
+    if isinstance(listener, PipelineListener) and frame.is_raw:
+        listener.image_type_changed(
+            True, frame.pattern is not None, frame.xtrans is not None,
+            frame.pattern is None and frame.xtrans is None
+            and getattr(frame.cfa, "ndim", 2) == 2)
     # 8-bit JPEG output with no host-side post step: convert on device
     u8 = (bits == 8 and gamut_warn is None and output_path is not None
           and str(output_path).lower().endswith((".jpg", ".jpeg")))
-    out = develop(frame, pp, fast=fast, out_u8=u8)
+    with _Collect() as auto_report:
+        out = develop(frame, pp, fast=fast, out_u8=u8)
+    fire_autos(listener, auto_report)
+    if wants_histogram(listener):
+        from art_tpu.pipeline.scopes import histogram_rgbl
+
+        arr = np.asarray(out)
+        full = (arr.transpose(2, 0, 1).astype(np.float32)
+                * (MAXVAL / 255.0) if u8
+                else np.clip(arr, 0.0, 1.0) * MAXVAL)
+        listener.histogram_changed(histogram_rgbl(full))
     notify(listener, "develop")
     t = _tick("develop (plan+device+readback)", t)
     if gamut_warn:

@@ -175,3 +175,45 @@ def test_progress_listener_milestones(tmp_path):
     except Exception:
         pass
     assert errs and "load failed" in errs[0]
+
+
+def test_pipeline_listener_autos(tmp_path):
+    """PipelineListener receives auto-WB, image type, and histogram
+    callbacks (reference rtengine.h:272-418 listener surface)."""
+    import numpy as np
+
+    from art_tpu.io.dngwrite import write_dng
+    from art_tpu.params import ProcParams
+    from art_tpu.pipeline.develop import process_image
+    from art_tpu.pipeline.listeners import PipelineListener
+
+    m = (np.random.default_rng(0).uniform(0.1, 0.8, (64, 96)) * 16000
+         + 500).astype(np.uint16)
+    p = tmp_path / "l.dng"
+    write_dng(p, m, black=500, white=16500)
+
+    got = {}
+
+    class L(PipelineListener):
+        def image_type_changed(self, is_raw, is_bayer, is_xtrans, is_mono):
+            got["type"] = (is_raw, is_bayer, is_xtrans, is_mono)
+
+        def auto_wb_changed(self, temp, green):
+            got["wb"] = (temp, green)
+
+        def histogram_changed(self, h):
+            got["hist"] = h
+
+        def set_progress(self, pct):
+            got.setdefault("pcts", []).append(pct)
+
+    pp = ProcParams()
+    pp.wb.enabled = True
+    pp.wb.method = "Auto"
+    out = tmp_path / "l.jpg"
+    process_image(str(p), pp, output_path=str(out), listener=L())
+    assert got["type"] == (True, True, False, False)
+    assert 1500 <= got["wb"][0] <= 60000 and got["wb"][1] > 0
+    assert set(got["hist"]) == {"r", "g", "b", "l"}
+    assert sum(got["hist"]["l"]) == 64 * 96
+    assert got["pcts"][-1] == 1.0
