@@ -18,6 +18,7 @@ bandwidth-bound). Manual mode stays the axis-separable radial rescale
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,6 +32,29 @@ def _subgrid_offsets(pattern, color):
     cidx = bayer_color_index(pattern, (2, 2))
     pos = np.argwhere(cidx == color)
     return int(pos[0][0]), int(pos[0][1])
+
+
+def _sel_mats(h, w, r0, c0, dtype):
+    """One-hot row/col selection matrices for the (r0, c0) subgrid;
+    constant-folded into the jitted program."""
+    pr = (jnp.arange(0, h, 2)[:, None] + r0
+          == jnp.arange(h)[None, :]).astype(dtype)
+    pc = (jnp.arange(w)[:, None]
+          == jnp.arange(0, w, 2)[None, :] + c0).astype(dtype)
+    return pr, pc
+
+
+def _subgrid(x, r0, c0):
+    h, w = x.shape
+    pr, pc = _sel_mats(h, w, r0, c0, x.dtype)
+    return jnp.dot(jnp.dot(pr, x, precision="highest"), pc,
+                   precision="highest")
+
+
+def _upsample(sub, h, w, r0, c0):
+    pr, pc = _sel_mats(h, w, r0, c0, sub.dtype)
+    return jnp.dot(jnp.dot(pr.T, sub, precision="highest"), pc.T,
+                   precision="highest")
 
 
 def _legendre_terms(yn, xn, pairs):
@@ -215,18 +239,20 @@ def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
     ry, rx = _subgrid_offsets(pattern, 0)
     by, bx = _subgrid_offsets(pattern, 2)
 
-    # subgrid extraction through a (H/2, 2, W/2, 2) view: stride-2 24MP
-    # slices cost ~50ms each on TPU, static small-dim indexing is free
-    view = cfa.reshape(h // 2, 2, w // 2, 2)
-    sub_r = view[:, ry, :, rx]
-    sub_b = view[:, by, :, bx]
+    # subgrid extraction as exact one-hot matmuls on the MXU: every
+    # relayout form of the stride-2 subsample (strided slice 75ms,
+    # reshape-view index 35ms, transpose 30ms, one-hot einsum 30ms at
+    # 24MP, all measured r5 on v5e) lowers to a slow path; a selection
+    # matmul at precision="highest" runs in ~7ms and is bit-exact (each
+    # output sums exactly one f32 product by 1.0).
+    sub_r = _subgrid(cfa, ry, rx)
+    sub_b = _subgrid(cfa, by, bx)
     # G reference at R/B positions: full-plane cardinal average (rolls),
-    # then the same cheap subsample
+    # then the same matmul subsample
     gavg = 0.25 * (jnp.roll(cfa, 1, axis=1) + jnp.roll(cfa, -1, axis=1)
                    + jnp.roll(cfa, 1, axis=0) + jnp.roll(cfa, -1, axis=0))
-    gview = gavg.reshape(h // 2, 2, w // 2, 2)
-    g_r = gview[:, ry, :, rx]
-    g_b = gview[:, by, :, bx]
+    g_r = _subgrid(gavg, ry, rx)
+    g_b = _subgrid(gavg, by, bx)
 
     if auto and min(sub_r.shape) >= 256:
         # reference-style per-tile surface (needs enough 64px tiles to
@@ -244,9 +270,12 @@ def ca_correct(cfa, pattern, auto=True, ca_red=0.0, ca_blue=0.0):
         new_r = _resample_radial(sub_r, jnp.float32(ca_red * 1e-3))
         new_b = _resample_radial(sub_b, jnp.float32(ca_blue * 1e-3))
 
-    # interleave through a (H/2, 2, W/2, 2) view: strided 24MP scatters
-    # (.at[::2, ::2].set) lower to the slow scatter path on TPU
-    v = cfa.reshape(h // 2, 2, w // 2, 2)
-    v = v.at[:, ry, :, rx].set(new_r)
-    v = v.at[:, by, :, bx].set(new_b)
-    return v.reshape(h, w)
+    # interleave back: transposed selection matmuls scatter the new
+    # subplanes to their sites; parity masks keep everything else
+    rp = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) % 2
+    cp = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) % 2
+    m_r = (rp == ry) & (cp == rx)
+    m_b = (rp == by) & (cp == bx)
+    keep = jnp.where(m_r | m_b, 0.0, 1.0)
+    return (cfa * keep + _upsample(new_r, h, w, ry, rx)
+            + _upsample(new_b, h, w, by, bx))
