@@ -121,3 +121,35 @@ def xtrans_color_index_device(pattern, shape, dy=0, dx=0):
             if v:
                 out = jnp.where((ry == i) & (cx == j), v, out)
     return out
+
+
+# -- stride-2 subgrid access as exact selection matmuls ---------------------
+# Every relayout lowering of a stride-2 Bayer subsample (strided slice,
+# reshape-view index, transpose, one-hot einsum) costs 30-75ms at 24MP
+# on v5e (measured r5); a one-hot selection matmul at precision=
+# "highest" runs in ~7ms and is bit-exact: each output element sums
+# exactly one f32 product by 1.0.
+
+def _sel2_mats(h, w, r0, c0, dtype):
+    pr = (jnp.arange(0, h, 2)[:, None] + r0
+          == jnp.arange(h)[None, :]).astype(dtype)
+    pc = (jnp.arange(w)[:, None]
+          == jnp.arange(0, w, 2)[None, :] + c0).astype(dtype)
+    return pr, pc
+
+
+def subgrid2(x, r0, c0):
+    """x[(r0::2, c0::2)] as an exact MXU extraction: (H, W) -> (H/2, W/2)."""
+    h, w = x.shape
+    pr, pc = _sel2_mats(h, w, r0, c0, x.dtype)
+    return jnp.dot(jnp.dot(pr, x, precision="highest"), pc,
+                   precision="highest")
+
+
+def subgrid2_scatter(sub, shape, r0, c0):
+    """Inverse of subgrid2: place `sub` at the (r0, c0) stride-2 sites
+    of a zero (H, W) plane (exact)."""
+    h, w = shape
+    pr, pc = _sel2_mats(h, w, r0, c0, sub.dtype)
+    return jnp.dot(jnp.dot(pr.T, sub, precision="highest"), pc.T,
+                   precision="highest")

@@ -34,27 +34,16 @@ def _subgrid_offsets(pattern, color):
     return int(pos[0][0]), int(pos[0][1])
 
 
-def _sel_mats(h, w, r0, c0, dtype):
-    """One-hot row/col selection matrices for the (r0, c0) subgrid;
-    constant-folded into the jitted program."""
-    pr = (jnp.arange(0, h, 2)[:, None] + r0
-          == jnp.arange(h)[None, :]).astype(dtype)
-    pc = (jnp.arange(w)[:, None]
-          == jnp.arange(0, w, 2)[None, :] + c0).astype(dtype)
-    return pr, pc
-
-
 def _subgrid(x, r0, c0):
-    h, w = x.shape
-    pr, pc = _sel_mats(h, w, r0, c0, x.dtype)
-    return jnp.dot(jnp.dot(pr, x, precision="highest"), pc,
-                   precision="highest")
+    from art_tpu.core.image import subgrid2
+
+    return subgrid2(x, r0, c0)
 
 
 def _upsample(sub, h, w, r0, c0):
-    pr, pc = _sel_mats(h, w, r0, c0, sub.dtype)
-    return jnp.dot(jnp.dot(pr.T, sub, precision="highest"), pc.T,
-                   precision="highest")
+    from art_tpu.core.image import subgrid2_scatter
+
+    return subgrid2_scatter(sub, (h, w), r0, c0)
 
 
 def _legendre_terms(yn, xn, pairs):

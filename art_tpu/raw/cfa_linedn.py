@@ -26,14 +26,21 @@ def _deband_axis(x, amount, axis):
 
 def cfa_line_denoise(cfa, amount, direction=3):
     """amount: LineDenoise slider (0..100) scaled to the 65535 domain."""
+    from art_tpu.core.image import subgrid2, subgrid2_scatter
+
     amp = amount / 100.0 * 65535.0 * 0.02  # max ~2% banding amplitude
-    out = cfa
+    h, w = cfa.shape
+    # per-phase subplanes via exact selection matmuls; the four scatters
+    # are disjoint and sum to the full mosaic (strided .at updates
+    # lower to a slow path at 24MP)
+    out = None
     for phase_y in (0, 1):
         for phase_x in (0, 1):
-            sub = out[phase_y::2, phase_x::2]
+            sub = subgrid2(cfa, phase_y, phase_x)
             if direction & 1:  # horizontal banding -> per-row offsets
                 sub = _deband_axis(sub, amp, axis=1)
             if direction & 2:  # vertical banding -> per-column offsets
                 sub = _deband_axis(sub, amp, axis=0)
-            out = out.at[phase_y::2, phase_x::2].set(sub)
+            up = subgrid2_scatter(sub, (h, w), phase_y, phase_x)
+            out = up if out is None else out + up
     return out

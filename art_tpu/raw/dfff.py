@@ -47,19 +47,25 @@ def _box_axis(a, r, axis):
 
 def apply_flatfield_bayer(cfa, flat, blur_type="area", radius=32):
     """cfa, flat: (H, W) raw ADU planes, same sensor."""
+    from art_tpu.core.image import subgrid2, subgrid2_scatter
+
     h, w = cfa.shape
     rsub = max(int(radius) // 2, 1)
-    out = cfa
+    # build the full-res correction field from the four per-site
+    # subplanes (disjoint scatters sum exactly), then one multiply —
+    # strided .at[py::2, px::2] updates lower to a slow path at 24MP
+    corr_full = None
     for py in (0, 1):
         for px in (0, 1):
-            sub_f = flat[py::2, px::2]
+            sub_f = subgrid2(flat, py, px)
             blurred = _blur_sub(sub_f, rsub, blur_type)
             ref = jnp.mean(blurred)
             corr = ref / jnp.maximum(blurred, 1e-3)
             # the reference guards insane corrections from dust/defects
             corr = jnp.clip(corr, 0.25, 4.0)
-            out = out.at[py::2, px::2].multiply(corr)
-    return out
+            up = subgrid2_scatter(corr, (h, w), py, px)
+            corr_full = up if corr_full is None else corr_full + up
+    return cfa * corr_full
 
 
 def apply_flatfield_xtrans(cfa, flat, cidx, blur_type="area", radius=32):
