@@ -123,7 +123,9 @@ def apply(rgb, data, static):
     # downscale for FI when above the dimension cap
     dim = max(h, w)
     ds = max(1, int(np.ceil(dim / DIM_CAP)))
-    hs = hh[::ds, ::ds] if ds > 1 else hh
+    from art_tpu.core.image import subsample_mm
+
+    hs = subsample_mm(hh, ds, ds)
 
     # pyramid + gradients
     pyr = [hs]
@@ -172,8 +174,8 @@ def apply(rgb, data, static):
     # median-matched rescale (statistics on ~200px nearest downsample)
     sy = max(1, h // 200)
     sx = max(1, w // 200)
-    y_small = jnp.sort(y[::sy, ::sx].reshape(-1))
-    l_small = jnp.sort(l[::sy, ::sx].reshape(-1))
+    y_small = jnp.sort(subsample_mm(y, sy, sx).reshape(-1))
+    l_small = jnp.sort(subsample_mm(l, sy, sx).reshape(-1))
     n = y_small.shape[0]
     old_med = y_small[n // 2]
     new_med = l_small[n // 2]
